@@ -1,0 +1,448 @@
+"""Whisper encoder-decoder, pure-functional JAX, TPU-first.
+
+Re-design of the reference model stack (reference:
+training/flax/distil_whisper/modeling_flax_whisper.py — conv stem :919-980,
+attention :256-310, KV cache trick :384-453; layers.py DenseGeneral/LayerNorm)
+as plain functions over a params pytree:
+
+* params are nested dicts of fp32 arrays; per-layer params are STACKED along a
+  leading ``layers`` axis so the transformer body is a single `lax.scan` —
+  compile time stays flat in depth and rematerialisation is one
+  `jax.checkpoint` on the scanned body (the reference reaches the same shape
+  via flax `nn.scan`, modeling_flax_whisper.py:543-650).
+* compute runs in bf16 with fp32 softmax/logits accumulation (DtypePolicy).
+* the decode-time KV cache is stored transposed ``[B, H, Dh, S]`` so the
+  sequence axis sits on TPU lanes, and is updated with a one-hot
+  multiply-accumulate — the layout the reference measured as "3-4x faster"
+  on TPU than scatter (modeling_flax_whisper.py:384-453).
+* activations carry logical-axis sharding constraints ("batch","length",
+  "heads","kv", "embed", "mlp") resolved against the active mesh
+  (parallel/mesh.py), replacing T5X `param_with_axes`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..parallel.mesh import shard
+from .config import DtypePolicy, WhisperConfig
+
+Params = Dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# primitive layers
+# ---------------------------------------------------------------------------
+
+def _dense(p: Params, x: jnp.ndarray, dtype) -> jnp.ndarray:
+    """y = x @ kernel + bias. kernel is [d_in, d_out] (JAX layout)."""
+    y = jnp.dot(x, p["kernel"].astype(dtype), preferred_element_type=dtype)
+    if "bias" in p:
+        y = y + p["bias"].astype(dtype)
+    return y
+
+
+def _layer_norm(p: Params, x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    """LayerNorm in fp32 regardless of compute dtype (bf16-safe)."""
+    orig = x.dtype
+    x = x.astype(jnp.float32)
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+    y = (x - mean) * jax.lax.rsqrt(var + eps)
+    y = y * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
+    return y.astype(orig)
+
+
+def _gelu(x: jnp.ndarray) -> jnp.ndarray:
+    return jax.nn.gelu(x, approximate=False)
+
+
+def _split_heads(x: jnp.ndarray, n_heads: int) -> jnp.ndarray:
+    b, s, d = x.shape
+    return x.reshape(b, s, n_heads, d // n_heads)
+
+
+def _merge_heads(x: jnp.ndarray) -> jnp.ndarray:
+    b, s, h, dh = x.shape
+    return x.reshape(b, s, h * dh)
+
+
+def _attention(
+    q: jnp.ndarray,  # [B, Sq, H, Dh]
+    k: jnp.ndarray,  # [B, Sk, H, Dh]
+    v: jnp.ndarray,  # [B, Sk, H, Dh]
+    mask: Optional[jnp.ndarray],  # broadcastable to [B, H, Sq, Sk], bool
+    dtype,
+) -> jnp.ndarray:
+    """Plain XLA dot-product attention with fp32 softmax.
+
+    Replaces the reference's torch SDPA/FlashAttention path
+    (training/run_distillation.py:133-143); XLA fuses this well on TPU, and
+    the Pallas flash kernel in ops/flash_attention.py is used instead for
+    long (encoder) sequences.
+    """
+    dh = q.shape[-1]
+    scale = dh ** -0.5
+    logits = jnp.einsum(
+        "bqhd,bkhd->bhqk", q * scale, k, preferred_element_type=jnp.float32
+    )
+    if mask is not None:
+        logits = jnp.where(mask, logits, jnp.finfo(jnp.float32).min)
+    probs = jax.nn.softmax(logits, axis=-1).astype(dtype)
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs, v, preferred_element_type=dtype)
+    return out
+
+
+def _self_attn_block(p: Params, x: jnp.ndarray, n_heads: int, mask, dtype):
+    q = _split_heads(_dense(p["q"], x, dtype), n_heads)
+    k = _split_heads(_dense(p["k"], x, dtype), n_heads)
+    v = _split_heads(_dense(p["v"], x, dtype), n_heads)
+    q = shard(q, "batch", "length", "heads", "kv")
+    k = shard(k, "batch", "length", "heads", "kv")
+    v = shard(v, "batch", "length", "heads", "kv")
+    out = _attention(q, k, v, mask, dtype)
+    return _dense(p["out"], _merge_heads(out), dtype)
+
+
+def _mlp_block(p_fc1: Params, p_fc2: Params, x: jnp.ndarray, dtype):
+    h = _gelu(_dense(p_fc1, x, dtype))
+    h = shard(h, "batch", "length", "mlp")
+    return _dense(p_fc2, h, dtype)
+
+
+# ---------------------------------------------------------------------------
+# encoder
+# ---------------------------------------------------------------------------
+
+def _conv1d(p: Params, x: jnp.ndarray, stride: int, dtype) -> jnp.ndarray:
+    """1-D conv, kernel [K, Cin, Cout], input [B, T, Cin], SAME-1 padding.
+
+    XLA lowers this onto the MXU; replaces the reference's ad-hoc axis-
+    annotated Conv (layers.py:1054-1340 / modeling_flax_whisper.py:919-980).
+    """
+    y = jax.lax.conv_general_dilated(
+        x.astype(dtype),
+        p["kernel"].astype(dtype),
+        window_strides=(stride,),
+        padding=[(1, 1)],
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        preferred_element_type=dtype,
+    )
+    return y + p["bias"].astype(dtype)
+
+
+def encode(
+    params: Params,
+    mel: jnp.ndarray,  # [B, n_frames(3000), num_mel_bins]
+    config: WhisperConfig,
+    policy: DtypePolicy = DtypePolicy(),
+    *,
+    freeze_embed_positions: bool = True,
+) -> jnp.ndarray:
+    """Encoder forward: conv stem -> +sinusoid positions -> N layers -> LN.
+
+    Returns [B, max_source_positions, d_model] in policy.compute_dtype.
+    """
+    p = params["encoder"]
+    dtype = policy.compute_dtype
+    x = shard(mel, "batch", "length", "num_mel")
+    x = _gelu(_conv1d(p["conv1"], x, stride=1, dtype=dtype))
+    x = _gelu(_conv1d(p["conv2"], x, stride=2, dtype=dtype))
+    x = shard(x, "batch", "length", "embed")
+
+    pos = p["embed_positions"]
+    if freeze_embed_positions:
+        # sinusoidal table is never trained (reference:
+        # modeling_flax_whisper.py:982-985 stop-gradients it).
+        pos = jax.lax.stop_gradient(pos)
+    x = x + pos.astype(dtype)
+
+    def layer(x, lp):
+        h = _layer_norm(lp["self_attn_ln"], x)
+        x = x + _self_attn_block(lp["self_attn"], h, config.encoder_attention_heads, None, dtype)
+        h = _layer_norm(lp["final_ln"], x)
+        x = x + _mlp_block(lp["fc1"], lp["fc2"], h, dtype)
+        x = shard(x, "batch", "length", "embed")
+        return x, None
+
+    x, _ = jax.lax.scan(jax.checkpoint(layer), x, p["layers"])
+    x = _layer_norm(p["ln_post"], x)
+    return x.astype(dtype)
+
+
+# ---------------------------------------------------------------------------
+# decoder: teacher-forcing forward (training / prefill)
+# ---------------------------------------------------------------------------
+
+def decode_train(
+    params: Params,
+    enc_out: jnp.ndarray,  # [B, T_enc, d]
+    tokens: jnp.ndarray,  # [B, U] int32
+    config: WhisperConfig,
+    policy: DtypePolicy = DtypePolicy(),
+    *,
+    attention_mask: Optional[jnp.ndarray] = None,  # [B, U] bool, True=keep
+) -> jnp.ndarray:
+    """Full-sequence decoder forward, returns fp32 logits [B, U, vocab].
+
+    Causal self-attention; cross-attention over enc_out. Padding inside
+    ``tokens`` is handled by the loss mask (HF Whisper likewise runs pure
+    causal attention during KD training — reference
+    training/run_distillation.py:1528-1537 passes no decoder attention mask),
+    but an explicit key-side mask can be supplied for left-padded prompts.
+    """
+    p = params["decoder"]
+    dtype = policy.compute_dtype
+    b, u = tokens.shape
+
+    x = p["embed_tokens"].astype(dtype)[tokens]
+    x = x + p["embed_positions"].astype(dtype)[:u]
+    x = shard(x, "batch", "length", "embed")
+
+    causal = jnp.tril(jnp.ones((u, u), dtype=bool))[None, None]
+    if attention_mask is not None:
+        causal = causal & attention_mask[:, None, None, :]
+
+    n_heads = config.decoder_attention_heads
+
+    def layer(x, lp):
+        h = _layer_norm(lp["self_attn_ln"], x)
+        x = x + _self_attn_block(lp["self_attn"], h, n_heads, causal, dtype)
+        h = _layer_norm(lp["cross_attn_ln"], x)
+        q = _split_heads(_dense(lp["cross_attn"]["q"], h, dtype), n_heads)
+        k = _split_heads(_dense(lp["cross_attn"]["k"], enc_out.astype(dtype), dtype), n_heads)
+        v = _split_heads(_dense(lp["cross_attn"]["v"], enc_out.astype(dtype), dtype), n_heads)
+        att = _attention(q, k, v, None, dtype)
+        x = x + _dense(lp["cross_attn"]["out"], _merge_heads(att), dtype)
+        h = _layer_norm(lp["final_ln"], x)
+        x = x + _mlp_block(lp["fc1"], lp["fc2"], h, dtype)
+        x = shard(x, "batch", "length", "embed")
+        return x, None
+
+    x, _ = jax.lax.scan(jax.checkpoint(layer), x, p["layers"])
+    x = _layer_norm(p["ln_post"], x)
+    # tied output head: logits in fp32 for loss / sampling stability
+    logits = jnp.dot(
+        x.astype(jnp.float32),
+        params["decoder"]["embed_tokens"].astype(jnp.float32).T,
+        preferred_element_type=jnp.float32,
+    )
+    return shard(logits, "batch", "length", "vocab")
+
+
+def forward(
+    params: Params,
+    mel: jnp.ndarray,
+    tokens: jnp.ndarray,
+    config: WhisperConfig,
+    policy: DtypePolicy = DtypePolicy(),
+) -> jnp.ndarray:
+    """encoder + teacher-forcing decoder -> fp32 logits [B, U, vocab]."""
+    enc = encode(params, mel, config, policy)
+    return decode_train(params, enc, tokens, config, policy)
+
+
+# ---------------------------------------------------------------------------
+# decoder: incremental decode with transposed KV cache
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class KVCache:
+    """Self-attention cache for all decoder layers, stacked on a leading
+    layer axis. Keys/values are stored transposed [L, B, H, Dh, S] so that
+    the (448-aligned) sequence axis is the TPU lane dimension
+    (reference trick: modeling_flax_whisper.py:384-453)."""
+
+    k: jnp.ndarray
+    v: jnp.ndarray
+
+    @property
+    def max_len(self) -> int:
+        return self.k.shape[-1]
+
+
+jax.tree_util.register_dataclass(KVCache, data_fields=["k", "v"], meta_fields=[])
+
+
+def init_cache(
+    config: WhisperConfig, batch: int, max_len: Optional[int] = None,
+    dtype=jnp.bfloat16,
+) -> KVCache:
+    s = max_len or config.max_target_positions
+    shape = (
+        config.decoder_layers,
+        batch,
+        config.decoder_attention_heads,
+        config.head_dim,
+        s,
+    )
+    return KVCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
+
+
+def precompute_cross_kv(
+    params: Params, enc_out: jnp.ndarray, config: WhisperConfig,
+    policy: DtypePolicy = DtypePolicy(),
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Cross-attention K/V for all layers: [L, B, T_enc, H, Dh] pair.
+
+    Computed once per utterance; the decode loop then never touches enc_out.
+    """
+    dtype = policy.compute_dtype
+    n_heads = config.decoder_attention_heads
+    enc = enc_out.astype(dtype)
+
+    def one_layer(_, lp):
+        k = _split_heads(_dense(lp["cross_attn"]["k"], enc, dtype), n_heads)
+        v = _split_heads(_dense(lp["cross_attn"]["v"], enc, dtype), n_heads)
+        return None, (k, v)
+
+    _, (ks, vs) = jax.lax.scan(one_layer, None, params["decoder"]["layers"])
+    return ks, vs
+
+
+def _cached_self_attn(lp, h, cache_k, cache_v, index, n_heads, dtype):
+    """One-token self-attention against the transposed cache.
+
+    h: [B, 1, d]; cache_k/v: [B, H, Dh, S]; index: scalar int32 position.
+    Returns (attn_out [B,1,d], new_cache_k, new_cache_v).
+    """
+    b = h.shape[0]
+    s = cache_k.shape[-1]
+    q = _split_heads(_dense(lp["q"], h, dtype), n_heads)  # [B,1,H,Dh]
+    k = _split_heads(_dense(lp["k"], h, dtype), n_heads)
+    v = _split_heads(_dense(lp["v"], h, dtype), n_heads)
+    # one-hot multiply-accumulate cache update (TPU-friendly: no scatter)
+    oh = jax.nn.one_hot(index, s, dtype=dtype)  # [S]
+    k_t = jnp.transpose(k, (0, 2, 3, 1))  # [B,H,Dh,1]
+    v_t = jnp.transpose(v, (0, 2, 3, 1))
+    cache_k = cache_k * (1.0 - oh) + k_t * oh
+    cache_v = cache_v * (1.0 - oh) + v_t * oh
+    # scores over full cache, masked to <= index
+    dh = q.shape[-1]
+    qh = jnp.squeeze(q, axis=1) * (dh ** -0.5)  # [B,H,Dh]
+    logits = jnp.einsum("bhd,bhds->bhs", qh, cache_k, preferred_element_type=jnp.float32)
+    pos = jnp.arange(s)
+    logits = jnp.where(pos[None, None] <= index, logits, jnp.finfo(jnp.float32).min)
+    probs = jax.nn.softmax(logits, axis=-1).astype(dtype)
+    out = jnp.einsum("bhs,bhds->bhd", probs, cache_v, preferred_element_type=dtype)
+    out = out.reshape(b, 1, -1)
+    return _dense(lp["out"], out, dtype), cache_k, cache_v
+
+
+def decode_step(
+    params: Params,
+    cross_kv: Tuple[jnp.ndarray, jnp.ndarray],
+    cache: KVCache,
+    token: jnp.ndarray,  # [B] or [B,1] int32 — token generated at `index`
+    index: jnp.ndarray,  # scalar int32 position of `token`
+    config: WhisperConfig,
+    policy: DtypePolicy = DtypePolicy(),
+) -> Tuple[jnp.ndarray, KVCache]:
+    """One decoder step. Returns (fp32 logits [B, vocab], updated cache)."""
+    p = params["decoder"]
+    dtype = policy.compute_dtype
+    n_heads = config.decoder_attention_heads
+    if token.ndim == 1:
+        token = token[:, None]
+
+    x = p["embed_tokens"].astype(dtype)[token]  # [B,1,d]
+    x = x + p["embed_positions"].astype(dtype)[index][None, None]
+
+    cross_k, cross_v = cross_kv
+
+    def layer(x, xs):
+        lp, ck, cv, xk, xv = xs
+        h = _layer_norm(lp["self_attn_ln"], x)
+        att, ck, cv = _cached_self_attn(lp["self_attn"], h, ck, cv, index, n_heads, dtype)
+        x = x + att
+        h = _layer_norm(lp["cross_attn_ln"], x)
+        q = _split_heads(_dense(lp["cross_attn"]["q"], h, dtype), n_heads)
+        att = _attention(q, xk, xv, None, dtype)
+        x = x + _dense(lp["cross_attn"]["out"], _merge_heads(att), dtype)
+        h = _layer_norm(lp["final_ln"], x)
+        x = x + _mlp_block(lp["fc1"], lp["fc2"], h, dtype)
+        return x, (ck, cv)
+
+    x, (new_k, new_v) = jax.lax.scan(
+        layer, x, (p["layers"], cache.k, cache.v, cross_k, cross_v)
+    )
+    x = _layer_norm(p["ln_post"], x)
+    logits = jnp.dot(
+        x[:, 0].astype(jnp.float32),
+        p["embed_tokens"].astype(jnp.float32).T,
+        preferred_element_type=jnp.float32,
+    )
+    return logits, KVCache(k=new_k, v=new_v)
+
+
+def prefill(
+    params: Params,
+    cross_kv: Tuple[jnp.ndarray, jnp.ndarray],
+    cache: KVCache,
+    tokens: jnp.ndarray,  # [B, P] int32 prompt (incl. forced decoder ids)
+    config: WhisperConfig,
+    policy: DtypePolicy = DtypePolicy(),
+    *,
+    valid_from: Optional[jnp.ndarray] = None,  # [B] first non-pad position
+) -> Tuple[jnp.ndarray, KVCache]:
+    """Run the prompt through the decoder in one pass, filling cache[0:P].
+
+    Returns (fp32 logits at the last prompt position [B, vocab], cache).
+    This is the whole-prefix analogue of decode_step and makes prompted /
+    condition-on-previous decoding (reference:
+    pseudo-labelling/prepare_dataset.py:118-124, run_eval.py:659-676) one
+    matmul-bound pass instead of P sequential steps.
+    """
+    p = params["decoder"]
+    dtype = policy.compute_dtype
+    n_heads = config.decoder_attention_heads
+    b, pl_len = tokens.shape
+    s = cache.max_len
+
+    x = p["embed_tokens"].astype(dtype)[tokens]
+    x = x + p["embed_positions"].astype(dtype)[:pl_len]
+
+    mask = jnp.tril(jnp.ones((pl_len, pl_len), dtype=bool))[None, None]
+    if valid_from is not None:
+        keep = jnp.arange(pl_len)[None, :] >= valid_from[:, None]  # [B, P]
+        mask = mask & keep[:, None, None, :]
+
+    cross_k, cross_v = cross_kv
+
+    def layer(x, xs):
+        lp, ck, cv, xk, xv = xs
+        h = _layer_norm(lp["self_attn_ln"], x)
+        q = _split_heads(_dense(lp["self_attn"]["q"], h, dtype), n_heads)
+        k = _split_heads(_dense(lp["self_attn"]["k"], h, dtype), n_heads)
+        v = _split_heads(_dense(lp["self_attn"]["v"], h, dtype), n_heads)
+        att = _attention(q, k, v, mask, dtype)
+        x = x + _dense(lp["self_attn"]["out"], _merge_heads(att), dtype)
+        # write k/v into cache at [0:P] (transposed layout)
+        k_t = jnp.transpose(k, (0, 2, 3, 1))  # [B,H,Dh,P]
+        v_t = jnp.transpose(v, (0, 2, 3, 1))
+        ck = jax.lax.dynamic_update_slice(ck, k_t.astype(ck.dtype), (0, 0, 0, 0))
+        cv = jax.lax.dynamic_update_slice(cv, v_t.astype(cv.dtype), (0, 0, 0, 0))
+        h = _layer_norm(lp["cross_attn_ln"], x)
+        q = _split_heads(_dense(lp["cross_attn"]["q"], h, dtype), n_heads)
+        att = _attention(q, xk, xv, None, dtype)
+        x = x + _dense(lp["cross_attn"]["out"], _merge_heads(att), dtype)
+        h = _layer_norm(lp["final_ln"], x)
+        x = x + _mlp_block(lp["fc1"], lp["fc2"], h, dtype)
+        return x, (ck, cv)
+
+    x, (new_k, new_v) = jax.lax.scan(
+        layer, x, (p["layers"], cache.k, cache.v, cross_k, cross_v)
+    )
+    x = _layer_norm(p["ln_post"], x)
+    logits = jnp.dot(
+        x[:, -1].astype(jnp.float32),
+        p["embed_tokens"].astype(jnp.float32).T,
+        preferred_element_type=jnp.float32,
+    )
+    return logits, KVCache(k=new_k, v=new_v)
