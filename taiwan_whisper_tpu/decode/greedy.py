@@ -1,0 +1,162 @@
+"""KV-cached greedy / sampled decoding as a single `lax.while_loop`.
+
+TPU-native replacement for the teacher-inference engine the reference buys
+from CTranslate2 (pseudo-labelling/initial_inference.py:64-90) and from HF
+`generate` (training/run_pseudo_labelling.py:918): one jit-compiled program
+per (batch, max_len) shape — prompt prefill in one pass, then a while_loop
+that early-exits when every sequence has emitted <|endoftext|>.
+
+Temperature sampling is included because sequential long-form decoding
+requires the (0.0 -> 1.0) temperature-fallback ladder
+(training/run_eval.py:659-676).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import whisper as M
+from ..models.config import DtypePolicy, WhisperConfig
+from .rules import DecodeRules, apply_rules
+
+
+@dataclasses.dataclass
+class DecodeResult:
+    """tokens includes the prefix; positions past the first <|endoftext|>
+    are filled with eot. lengths counts sampled tokens excluding eot."""
+
+    tokens: jnp.ndarray  # [B, max_len] int32
+    lengths: jnp.ndarray  # [B] int32
+    sum_logprobs: jnp.ndarray  # [B] fp32 (sampled tokens incl. eot)
+    no_speech_probs: jnp.ndarray  # [B] fp32
+
+
+jax.tree_util.register_dataclass(
+    DecodeResult,
+    data_fields=["tokens", "lengths", "sum_logprobs", "no_speech_probs"],
+    meta_fields=[],
+)
+
+
+def greedy_decode(
+    params,
+    enc_out: jnp.ndarray,  # [B, T_enc, d]
+    prefix: jnp.ndarray,  # [B, P] int32: (prompt +) sot sequence
+    config: WhisperConfig,
+    rules: DecodeRules,
+    policy: DtypePolicy = DtypePolicy(),
+    *,
+    max_len: Optional[int] = None,
+    temperature: float = 0.0,
+    rng: Optional[jax.Array] = None,
+    sot_index: int = 0,  # position of <|startoftranscript|> in prefix
+    valid_from: Optional[jnp.ndarray] = None,  # [B] for left-padded prompts
+) -> DecodeResult:
+    """Greedy (temperature==0) or sampled decode of a batch of utterances."""
+    b, p_len = prefix.shape
+    max_len = max_len or config.max_target_positions
+    assert p_len < max_len
+    eot = rules.eot
+    ts_begin = rules.timestamp_begin
+
+    suppress = jnp.asarray(rules.suppress_mask())
+    begin_suppress = jnp.asarray(rules.begin_suppress_mask())
+
+    cross_kv = M.precompute_cross_kv(params, enc_out, config, policy)
+    cache = M.init_cache(config, b, max_len, dtype=policy.compute_dtype)
+    logits0, cache, sot_logits = M.prefill(
+        params, cross_kv, cache, prefix, config, policy,
+        valid_from=valid_from, aux_index=sot_index,
+    )
+    # P(<|nospeech|>) read at the <|startoftranscript|> position, the
+    # no-speech detection signal of long-form decoding (Whisper paper §4.5).
+    no_speech_probs = jax.nn.softmax(sot_logits, axis=-1)[:, rules.no_speech]
+
+    tokens = jnp.full((b, max_len), eot, jnp.int32)
+    tokens = jax.lax.dynamic_update_slice(tokens, prefix, (0, 0))
+
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+
+    state = dict(
+        cache=cache,
+        logits=logits0,
+        tokens=tokens,
+        cur=jnp.int32(p_len),
+        last_ts=jnp.zeros((b,), jnp.int32),
+        finished=jnp.zeros((b,), bool),
+        sum_logprobs=jnp.zeros((b,), jnp.float32),
+        lengths=jnp.zeros((b,), jnp.int32),
+        rng=rng,
+    )
+
+    def cond(s):
+        return jnp.logical_and(s["cur"] < max_len, ~jnp.all(s["finished"]))
+
+    def body(s):
+        i = s["cur"]
+        step = i - p_len
+        last = jax.lax.dynamic_index_in_dim(s["tokens"], i - 1, axis=1, keepdims=False)
+        penult = jax.lax.dynamic_index_in_dim(
+            s["tokens"], jnp.maximum(i - 2, 0), axis=1, keepdims=False
+        )
+        masked = apply_rules(
+            s["logits"],
+            step=step,
+            last_token=last,
+            penult_token=penult,
+            last_timestamp=s["last_ts"],
+            rules=rules,
+            suppress=suppress,
+            begin_suppress=begin_suppress,
+        )
+        rng, sub = jax.random.split(s["rng"])
+        if temperature == 0.0:
+            nxt = jnp.argmax(masked, axis=-1).astype(jnp.int32)
+        else:
+            nxt = jax.random.categorical(sub, masked / temperature, axis=-1).astype(
+                jnp.int32
+            )
+        logprob = jnp.take_along_axis(
+            jax.nn.log_softmax(masked, axis=-1), nxt[:, None], axis=-1
+        )[:, 0]
+        active = ~s["finished"]
+        nxt = jnp.where(active, nxt, eot)
+        sum_logprobs = s["sum_logprobs"] + jnp.where(active, logprob, 0.0)
+        lengths = s["lengths"] + jnp.where(
+            jnp.logical_and(active, nxt != eot), 1, 0
+        ).astype(jnp.int32)
+        last_ts = jnp.where(
+            jnp.logical_and(active, nxt >= ts_begin), nxt, s["last_ts"]
+        )
+        tokens = jax.lax.dynamic_update_slice(s["tokens"], nxt[:, None], (0, i))
+        finished = jnp.logical_or(s["finished"], nxt == eot)
+        logits, cache = M.decode_step(
+            params, cross_kv, s["cache"], nxt, i, config, policy,
+            valid_from=valid_from,
+        )
+        return dict(
+            cache=cache,
+            logits=logits,
+            tokens=tokens,
+            cur=i + 1,
+            last_ts=last_ts,
+            finished=finished,
+            sum_logprobs=sum_logprobs,
+            lengths=lengths,
+            rng=rng,
+        )
+
+    s = jax.lax.while_loop(cond, body, state)
+    return DecodeResult(
+        tokens=s["tokens"],
+        lengths=s["lengths"],
+        sum_logprobs=s["sum_logprobs"],
+        no_speech_probs=no_speech_probs,
+    )

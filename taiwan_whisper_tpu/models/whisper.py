@@ -306,11 +306,13 @@ def precompute_cross_kv(
     return ks, vs
 
 
-def _cached_self_attn(lp, h, cache_k, cache_v, index, n_heads, dtype):
+def _cached_self_attn(lp, h, cache_k, cache_v, index, n_heads, dtype,
+                      valid_from=None):
     """One-token self-attention against the transposed cache.
 
     h: [B, 1, d]; cache_k/v: [B, H, Dh, S]; index: scalar int32 position.
-    Returns (attn_out [B,1,d], new_cache_k, new_cache_v).
+    ``valid_from`` ([B] int32, optional) masks cache positions below it —
+    used after a left-padded prefill. Returns (attn_out [B,1,d], new caches).
     """
     b = h.shape[0]
     s = cache_k.shape[-1]
@@ -328,7 +330,10 @@ def _cached_self_attn(lp, h, cache_k, cache_v, index, n_heads, dtype):
     qh = jnp.squeeze(q, axis=1) * (dh ** -0.5)  # [B,H,Dh]
     logits = jnp.einsum("bhd,bhds->bhs", qh, cache_k, preferred_element_type=jnp.float32)
     pos = jnp.arange(s)
-    logits = jnp.where(pos[None, None] <= index, logits, jnp.finfo(jnp.float32).min)
+    keep = pos[None, None] <= index
+    if valid_from is not None:
+        keep = jnp.logical_and(keep, pos[None, None] >= valid_from[:, None, None])
+    logits = jnp.where(keep, logits, jnp.finfo(jnp.float32).min)
     probs = jax.nn.softmax(logits, axis=-1).astype(dtype)
     out = jnp.einsum("bhs,bhds->bhd", probs, cache_v, preferred_element_type=dtype)
     out = out.reshape(b, 1, -1)
@@ -343,6 +348,8 @@ def decode_step(
     index: jnp.ndarray,  # scalar int32 position of `token`
     config: WhisperConfig,
     policy: DtypePolicy = DtypePolicy(),
+    *,
+    valid_from: Optional[jnp.ndarray] = None,  # [B] mask cache pos < this
 ) -> Tuple[jnp.ndarray, KVCache]:
     """One decoder step. Returns (fp32 logits [B, vocab], updated cache)."""
     p = params["decoder"]
@@ -359,7 +366,9 @@ def decode_step(
     def layer(x, xs):
         lp, ck, cv, xk, xv = xs
         h = _layer_norm(lp["self_attn_ln"], x)
-        att, ck, cv = _cached_self_attn(lp["self_attn"], h, ck, cv, index, n_heads, dtype)
+        att, ck, cv = _cached_self_attn(
+            lp["self_attn"], h, ck, cv, index, n_heads, dtype, valid_from
+        )
         x = x + att
         h = _layer_norm(lp["cross_attn_ln"], x)
         q = _split_heads(_dense(lp["cross_attn"]["q"], h, dtype), n_heads)
@@ -390,11 +399,14 @@ def prefill(
     policy: DtypePolicy = DtypePolicy(),
     *,
     valid_from: Optional[jnp.ndarray] = None,  # [B] first non-pad position
-) -> Tuple[jnp.ndarray, KVCache]:
+    aux_index: int = 0,  # extra position whose logits are also returned
+) -> Tuple[jnp.ndarray, KVCache, jnp.ndarray]:
     """Run the prompt through the decoder in one pass, filling cache[0:P].
 
-    Returns (fp32 logits at the last prompt position [B, vocab], cache).
-    This is the whole-prefix analogue of decode_step and makes prompted /
+    Returns (fp32 logits at the last prompt position [B, vocab], cache,
+    fp32 logits at position ``aux_index`` [B, vocab]). The aux logits serve
+    the no-speech probe at the <|startoftranscript|> position. This is the
+    whole-prefix analogue of decode_step and makes prompted /
     condition-on-previous decoding (reference:
     pseudo-labelling/prepare_dataset.py:118-124, run_eval.py:659-676) one
     matmul-bound pass instead of P sequential steps.
@@ -440,9 +452,7 @@ def prefill(
         layer, x, (p["layers"], cache.k, cache.v, cross_k, cross_v)
     )
     x = _layer_norm(p["ln_post"], x)
-    logits = jnp.dot(
-        x[:, -1].astype(jnp.float32),
-        p["embed_tokens"].astype(jnp.float32).T,
-        preferred_element_type=jnp.float32,
-    )
-    return logits, KVCache(k=new_k, v=new_v)
+    head = p["embed_tokens"].astype(jnp.float32).T
+    picked = jnp.stack([x[:, -1], x[:, aux_index]], axis=1).astype(jnp.float32)
+    both = jnp.dot(picked, head, preferred_element_type=jnp.float32)
+    return both[:, 0], KVCache(k=new_k, v=new_v), both[:, 1]

@@ -133,7 +133,7 @@ def test_prefill_matches_steps(jx):
     cross_kv = M.precompute_cross_kv(params, enc, cfg, FP32)
 
     cache_a = M.init_cache(cfg, 2, max_len=16, dtype=jnp.float32)
-    logits_pre, cache_a = M.prefill(params, cross_kv, cache_a, jnp.asarray(tokens), cfg, FP32)
+    logits_pre, cache_a, _ = M.prefill(params, cross_kv, cache_a, jnp.asarray(tokens), cfg, FP32)
 
     cache_b = M.init_cache(cfg, 2, max_len=16, dtype=jnp.float32)
     for i in range(tokens.shape[1]):
