@@ -188,6 +188,7 @@ def decode_train(
     policy: DtypePolicy = DtypePolicy(),
     *,
     attention_mask: Optional[jnp.ndarray] = None,  # [B, U] bool, True=keep
+    output_hidden_states: bool = False,
 ) -> jnp.ndarray:
     """Full-sequence decoder forward, returns fp32 logits [B, U, vocab].
 
@@ -196,6 +197,10 @@ def decode_train(
     causal attention during KD training — reference
     training/run_distillation.py:1528-1537 passes no decoder attention mask),
     but an explicit key-side mask can be supplied for left-padded prompts.
+
+    With ``output_hidden_states`` returns (logits, hidden [L, B, U, d]) where
+    hidden[l] is the output of decoder layer l — the supervision points of
+    the reference's MSE layer-map loss (flax/run_distillation.py:1681-1718).
     """
     p = params["decoder"]
     dtype = policy.compute_dtype
@@ -223,9 +228,9 @@ def decode_train(
         h = _layer_norm(lp["final_ln"], x)
         x = x + _mlp_block(lp["fc1"], lp["fc2"], h, dtype)
         x = shard(x, "batch", "length", "embed")
-        return x, None
+        return x, (x if output_hidden_states else None)
 
-    x, _ = jax.lax.scan(jax.checkpoint(layer), x, p["layers"])
+    x, hiddens = jax.lax.scan(jax.checkpoint(layer), x, p["layers"])
     x = _layer_norm(p["ln_post"], x)
     # tied output head: logits in fp32 for loss / sampling stability
     logits = jnp.dot(
@@ -233,7 +238,10 @@ def decode_train(
         params["decoder"]["embed_tokens"].astype(jnp.float32).T,
         preferred_element_type=jnp.float32,
     )
-    return shard(logits, "batch", "length", "vocab")
+    logits = shard(logits, "batch", "length", "vocab")
+    if output_hidden_states:
+        return logits, hiddens
+    return logits
 
 
 def forward(

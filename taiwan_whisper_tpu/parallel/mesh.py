@@ -87,7 +87,7 @@ def use_mesh(mesh: Optional[Mesh]):
         if mesh is None:
             yield None
         else:
-            with jax.sharding.use_mesh(mesh):
+            with jax.sharding.set_mesh(mesh):
                 yield mesh
     finally:
         _local.mesh = prev

@@ -16,7 +16,10 @@ from typing import Optional, Sequence
 import numpy as np
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-_SRC = os.path.join(_REPO_ROOT, "native", "twt_native.cpp")
+_SRCS = [
+    os.path.join(_REPO_ROOT, "native", "twt_native.cpp"),
+    os.path.join(_REPO_ROOT, "native", "flac_codec.cpp"),
+]
 _LIB = os.path.join(_REPO_ROOT, "native", "libtwt_native.so")
 
 _lock = threading.Lock()
@@ -32,13 +35,14 @@ def _load() -> Optional[ctypes.CDLL]:
         if _lib is not None or _build_failed:
             return _lib
         try:
-            if (not os.path.exists(_LIB)) or (
-                os.path.exists(_SRC)
-                and os.path.getmtime(_SRC) > os.path.getmtime(_LIB)
-            ):
+            srcs = [s for s in _SRCS if os.path.exists(s)]
+            stale = (not os.path.exists(_LIB)) or any(
+                os.path.getmtime(s) > os.path.getmtime(_LIB) for s in srcs
+            )
+            if stale:
                 subprocess.run(
                     ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-                     "-o", _LIB, _SRC],
+                     "-o", _LIB, *srcs],
                     check=True, capture_output=True,
                 )
             lib = ctypes.CDLL(_LIB)
@@ -51,6 +55,23 @@ def _load() -> Optional[ctypes.CDLL]:
             lib.tw_max_ngram_count_u32.argtypes = [
                 ctypes.POINTER(ctypes.c_uint32), ctypes.c_int32, ctypes.c_int32,
             ]
+            lib.tw_flac_decode_file.restype = ctypes.c_int32
+            lib.tw_flac_decode_file.argtypes = [
+                ctypes.c_char_p,
+                ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)),
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_int32),
+            ]
+            lib.tw_flac_encode_file.restype = ctypes.c_int32
+            lib.tw_flac_encode_file.argtypes = [
+                ctypes.c_char_p,
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+            ]
+            lib.tw_free.restype = None
+            lib.tw_free.argtypes = [ctypes.c_void_p]
             _lib = lib
         except Exception:
             _build_failed = True
@@ -101,3 +122,51 @@ def max_ngram_count(text: str, n: int = 6) -> int:
             arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)), len(arr), n
         )
     )
+
+
+def flac_decode(path: str):
+    """Decode a FLAC file -> (float32 array [T] or [T, C], sample_rate)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native FLAC decoder unavailable (g++ build failed)")
+    pcm = ctypes.POINTER(ctypes.c_int32)()
+    frames = ctypes.c_int64()
+    channels = ctypes.c_int32()
+    rate = ctypes.c_int32()
+    bps = ctypes.c_int32()
+    rc = lib.tw_flac_decode_file(
+        path.encode(), ctypes.byref(pcm), ctypes.byref(frames),
+        ctypes.byref(channels), ctypes.byref(rate), ctypes.byref(bps),
+    )
+    if rc != 0:
+        raise ValueError(f"FLAC decode failed (rc={rc}): {path}")
+    n = frames.value * channels.value
+    try:
+        arr = np.ctypeslib.as_array(pcm, shape=(n,)).copy()
+    finally:
+        lib.tw_free(pcm)
+    scale = float(1 << (bps.value - 1))
+    data = arr.astype(np.float32) / scale
+    if channels.value > 1:
+        data = data.reshape(frames.value, channels.value)
+    return data, rate.value
+
+
+def flac_encode(path: str, audio: np.ndarray, sample_rate: int = 16000):
+    """Encode float32 audio ([T] or [T, C]) to 16-bit FLAC."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native FLAC encoder unavailable (g++ build failed)")
+    audio = np.asarray(audio, np.float32)
+    if audio.ndim == 1:
+        frames, channels = audio.shape[0], 1
+    else:
+        frames, channels = audio.shape
+    pcm = np.clip(np.round(audio * 32767.0), -32768, 32767).astype(np.int32)
+    pcm = np.ascontiguousarray(pcm.reshape(-1))
+    rc = lib.tw_flac_encode_file(
+        path.encode(), pcm.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        frames, channels, sample_rate,
+    )
+    if rc != 0:
+        raise ValueError(f"FLAC encode failed (rc={rc}): {path}")
