@@ -1,0 +1,289 @@
+"""Command-line entry points for the four pipeline stages + utilities.
+
+The reference drives each stage with a separate script + shell wrapper
+(README.md:4-10, SURVEY.md §1 L8); here one CLI exposes them as subcommands:
+
+    python -m taiwan_whisper_tpu.cli label      --manifest ... --model ...
+    python -m taiwan_whisper_tpu.cli segment    --trans_dir ... --audio_dir ...
+    python -m taiwan_whisper_tpu.cli prefilter  --manifest ... --validator ...
+    python -m taiwan_whisper_tpu.cli distill    --manifest ... --teacher ...
+    python -m taiwan_whisper_tpu.cli evaluate   --manifest ... --model ...
+    python -m taiwan_whisper_tpu.cli init-student --teacher ... --out ...
+    python -m taiwan_whisper_tpu.cli make-manifest --root ... --out ...
+
+Multi-host: launch the same command on every host after
+jax.distributed.initialize (pass --distributed); manifest sharding is
+automatic via jax.process_index.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+
+
+def _add_common(p: argparse.ArgumentParser):
+    p.add_argument("--tokenizer_dir", default=None,
+                   help="dir with vocab.json/merges.txt (optional)")
+    p.add_argument("--distributed", action="store_true",
+                   help="call jax.distributed.initialize() first")
+
+
+def _maybe_init_distributed(args):
+    if getattr(args, "distributed", False):
+        import jax
+
+        jax.distributed.initialize()
+
+
+def cmd_label(args):
+    from .pipeline.label import LabelConfig, run_labelling
+
+    _maybe_init_distributed(args)
+    stats = run_labelling(
+        args.manifest, args.model, args.output_dir,
+        LabelConfig(
+            language=args.language, strategy=args.strategy,
+            batch_size=args.batch_size,
+            energy_vad_threshold=args.energy_vad_threshold,
+        ),
+        tokenizer_dir=args.tokenizer_dir,
+    )
+    print(json.dumps(stats))
+
+
+def cmd_segment(args):
+    from .audio.io import load_audio_16k
+    from .audio.manifest import Manifest, write_manifest
+    from .pipeline.segment import read_pseudo_label_csv, segment_audio_file
+
+    csvs = {os.path.splitext(os.path.basename(p))[0]: p
+            for p in glob.glob(os.path.join(args.trans_dir, "*.csv"))}
+    rel_paths = []
+    for audio_path in sorted(glob.glob(os.path.join(args.audio_dir, f"*.{args.ext}"))):
+        stem = os.path.splitext(os.path.basename(audio_path))[0]
+        if stem not in csvs:
+            print(f"[segment] no transcription for {stem}")
+            continue
+        audio = load_audio_16k(audio_path)
+        utts = read_pseudo_label_csv(csvs[stem])
+        rel_paths.extend(
+            segment_audio_file(audio, utts, args.output_dir, stem,
+                               audio_format=args.ext)
+        )
+    write_manifest(
+        os.path.join(args.output_dir, "train.tsv"),
+        Manifest(root=os.path.abspath(args.output_dir), paths=rel_paths),
+    )
+    print(f"[segment] wrote {len(rel_paths)} segments")
+
+
+def cmd_prefilter(args):
+    from .pipeline.prefilter import PrefilterConfig, run_prefilter
+
+    _maybe_init_distributed(args)
+    run_prefilter(
+        args.manifest, args.validator, args.output_dir,
+        PrefilterConfig(
+            language=args.language, batch_size=args.batch_size,
+            threshold=args.threshold, mix_detection=args.mix_detection,
+        ),
+        tokenizer_dir=args.tokenizer_dir,
+    )
+
+
+def cmd_distill(args):
+    from .pipeline.dataset import TrainPrepConfig
+    from .pipeline.distill_driver import DistillRunConfig, run_distillation
+    from .train.distill import DistillConfig
+    from .train.state import OptimConfig
+
+    _maybe_init_distributed(args)
+    metrics = run_distillation(
+        args.manifest, args.teacher, args.output_dir,
+        student_dir=args.student,
+        student_decoder_layers=args.student_decoder_layers,
+        run_cfg=DistillRunConfig(
+            max_steps=args.max_steps, batch_size=args.batch_size,
+            model_parallel=args.model_parallel, save_steps=args.save_steps,
+            eval_steps=args.eval_steps, use_wandb=args.wandb,
+        ),
+        dcfg=DistillConfig(
+            ce_weight=args.ce_weight, kl_weight=args.kl_weight,
+            temperature=args.temperature, mse_weight=args.mse_weight,
+        ),
+        opt_cfg=OptimConfig(
+            learning_rate=args.learning_rate, warmup_steps=args.warmup_steps,
+            total_steps=args.max_steps, schedule=args.lr_schedule,
+        ),
+        prep_cfg=TrainPrepConfig(
+            language=args.language,
+            timestamp_probability=args.timestamp_probability,
+            condition_on_prev_probability=args.condition_on_prev_probability,
+        ),
+        tokenizer_dir=args.tokenizer_dir,
+    )
+    print(json.dumps(metrics))
+
+
+def cmd_evaluate(args):
+    from .models.io import load_model
+    from .pipeline.evaluate import EvalConfig, evaluate_manifest
+    from .text.tokenizer import WhisperTokenizer
+
+    _maybe_init_distributed(args)
+    params, config = load_model(args.model)
+    tok = (WhisperTokenizer.from_pretrained_dir(args.tokenizer_dir)
+           if args.tokenizer_dir else WhisperTokenizer())
+    res = evaluate_manifest(
+        params, config, tok, args.manifest,
+        EvalConfig(
+            language=args.language, mode=args.mode,
+            batch_size=args.batch_size, num_beams=args.num_beams,
+        ),
+        output_dir=args.output_dir,
+    )
+    print(json.dumps({
+        "mer": res.mer, "en_wer": res.en_wer, "zh_cer": res.zh_cer,
+        "rtf": res.rtf,
+        "audio_seconds_per_second": res.audio_seconds_per_second,
+        "n_samples": res.n_samples,
+    }))
+
+
+def cmd_init_student(args):
+    from .models.io import load_model, save_hf_checkpoint
+    from .models.params import init_student_from_teacher, mix_language_embeddings
+    from .text.tokenizer import MULTILINGUAL
+
+    teacher, tcfg = load_model(args.teacher)
+    if args.mix_lang_emb:
+        zh, en = MULTILINGUAL.language_id("zh"), MULTILINGUAL.language_id("en")
+        teacher = mix_language_embeddings(teacher, zh, [zh, en])
+    layers = ([int(x) for x in args.decoder_layers_numbers.split(",")]
+              if args.decoder_layers_numbers else None)
+    student = init_student_from_teacher(
+        teacher, tcfg, args.decoder_layers, layers
+    )
+    save_hf_checkpoint(args.out, student, tcfg.with_decoder_layers(args.decoder_layers))
+    print(f"[init-student] wrote {args.out}")
+
+
+def cmd_make_manifest(args):
+    from .audio.manifest import Manifest, split_valid, write_manifest
+
+    paths = sorted(
+        os.path.relpath(p, args.root)
+        for p in glob.glob(os.path.join(args.root, "**", f"*.{args.ext}"),
+                           recursive=True)
+    )
+    m = Manifest(root=os.path.abspath(args.root), paths=paths)
+    if args.valid_percent > 0:
+        train, valid = split_valid(m, args.valid_percent, args.seed)
+        write_manifest(os.path.join(args.out, "train.tsv"), train)
+        write_manifest(os.path.join(args.out, "valid.tsv"), valid)
+        print(f"[manifest] train={len(train)} valid={len(valid)}")
+    else:
+        write_manifest(os.path.join(args.out, "train.tsv"), m)
+        print(f"[manifest] train={len(m)}")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(prog="taiwan_whisper_tpu")
+    sub = ap.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("label", help="stage 1: pseudo-label long audio")
+    p.add_argument("--manifest", required=True)
+    p.add_argument("--model", required=True)
+    p.add_argument("--output_dir", required=True)
+    p.add_argument("--language", default="zh")
+    p.add_argument("--strategy", default="chunked", choices=["chunked", "sequential"])
+    p.add_argument("--batch_size", type=int, default=16)
+    p.add_argument("--energy_vad_threshold", type=float, default=0.0)
+    _add_common(p)
+    p.set_defaults(fn=cmd_label)
+
+    p = sub.add_parser("segment", help="stage 2a: 30s re-segmentation")
+    p.add_argument("--trans_dir", required=True)
+    p.add_argument("--audio_dir", required=True)
+    p.add_argument("--output_dir", required=True)
+    p.add_argument("--ext", default="flac")
+    p.set_defaults(fn=cmd_segment)
+
+    p = sub.add_parser("prefilter", help="stage 2b: validator + MER filter")
+    p.add_argument("--manifest", required=True)
+    p.add_argument("--validator", required=True)
+    p.add_argument("--output_dir", required=True)
+    p.add_argument("--language", default="zh")
+    p.add_argument("--batch_size", type=int, default=16)
+    p.add_argument("--threshold", type=float, default=0.4)
+    p.add_argument("--mix_detection", action="store_true")
+    _add_common(p)
+    p.set_defaults(fn=cmd_prefilter)
+
+    p = sub.add_parser("distill", help="stage 3: knowledge distillation")
+    p.add_argument("--manifest", required=True)
+    p.add_argument("--teacher", required=True)
+    p.add_argument("--output_dir", required=True)
+    p.add_argument("--student", default=None)
+    p.add_argument("--student_decoder_layers", type=int, default=2)
+    p.add_argument("--max_steps", type=int, default=120_000)
+    p.add_argument("--batch_size", type=int, default=32)
+    p.add_argument("--model_parallel", type=int, default=1)
+    p.add_argument("--save_steps", type=int, default=1000)
+    p.add_argument("--eval_steps", type=int, default=1000)
+    p.add_argument("--learning_rate", type=float, default=1e-4)
+    p.add_argument("--warmup_steps", type=int, default=50)
+    p.add_argument("--lr_schedule", default="constant_with_warmup")
+    p.add_argument("--ce_weight", type=float, default=0.8)
+    p.add_argument("--kl_weight", type=float, default=1.0)
+    p.add_argument("--temperature", type=float, default=2.0)
+    p.add_argument("--mse_weight", type=float, default=0.0)
+    p.add_argument("--language", default="zh")
+    p.add_argument("--timestamp_probability", type=float, default=0.2)
+    p.add_argument("--condition_on_prev_probability", type=float, default=0.2)
+    p.add_argument("--wandb", action="store_true")
+    _add_common(p)
+    p.set_defaults(fn=cmd_distill)
+
+    p = sub.add_parser("evaluate", help="stage 4: MER + RTF eval")
+    p.add_argument("--manifest", required=True)
+    p.add_argument("--model", required=True)
+    p.add_argument("--output_dir", default=None)
+    p.add_argument("--language", default="zh")
+    p.add_argument("--mode", default="short", choices=["short", "sequential", "chunked"])
+    p.add_argument("--batch_size", type=int, default=16)
+    p.add_argument("--num_beams", type=int, default=1)
+    _add_common(p)
+    p.set_defaults(fn=cmd_evaluate)
+
+    p = sub.add_parser("init-student", help="maximally-spaced student init")
+    p.add_argument("--teacher", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--decoder_layers", type=int, default=2)
+    p.add_argument("--decoder_layers_numbers", default=None,
+                   help="comma-separated explicit teacher layer indices")
+    p.add_argument("--mix_lang_emb", action="store_true")
+    p.set_defaults(fn=cmd_init_student)
+
+    p = sub.add_parser("make-manifest", help="build fairseq-style TSVs")
+    p.add_argument("--root", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--ext", default="flac")
+    p.add_argument("--valid_percent", type=float, default=0.0)
+    p.add_argument("--seed", type=int, default=42)
+    p.set_defaults(fn=cmd_make_manifest)
+
+    return ap
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -155,6 +155,8 @@ def sequential_decode(
     special = tokenizer.special
     rules = DecodeRules.from_special(special, timestamps=True)
     mel_fn = mel_fn or (lambda a: log_mel(a, config.num_mel_bins))
+    # window length follows the model context (30 s for published models)
+    n_window = config.max_source_positions * 2 * 160
 
     # jit per (prefix_len, temperature): temperature is a python float baked
     # into the trace, so each ladder rung compiles once and is then cached
@@ -181,9 +183,9 @@ def sequential_decode(
     rng = jax.random.PRNGKey(seed)
 
     while seek < total:
-        window = audio[seek : seek + N_SAMPLES]
+        window = audio[seek : seek + n_window]
         window_duration = len(window) / SAMPLE_RATE
-        chunk = pad_or_trim(window.astype(np.float32))
+        chunk = pad_or_trim(window.astype(np.float32), n_window)
 
         if condition_on_prev and prompt_tokens:
             prefix_list = tokenizer.prompt_ids(prompt_tokens, max_prompt_tokens) + sot_seq
@@ -231,7 +233,7 @@ def sequential_decode(
                 break
 
         if not chosen_tokens:
-            seek += N_SAMPLES
+            seek += n_window
             continue
 
         segments, advance_s, _ = _tokens_to_segments(
@@ -273,7 +275,8 @@ def chunk_with_stride(
         is_last = start + chunk_len >= total
         sl = 0.0 if is_first else stride_left_s
         sr = 0.0 if is_last else stride_right_s
-        out.append((pad_or_trim(chunk.astype(np.float32)), start / SAMPLE_RATE, sl, sr))
+        out.append((pad_or_trim(chunk.astype(np.float32), chunk_len),
+                    start / SAMPLE_RATE, sl, sr))
         if is_last:
             break
         pos = start + chunk_len - int(stride_right_s * SAMPLE_RATE)
@@ -290,8 +293,8 @@ def chunked_decode(
     language: str = "zh",
     task: str = "transcribe",
     batch_size: int = 8,
-    chunk_s: float = 30.0,
-    stride_s: float = 5.0,
+    chunk_s: Optional[float] = None,
+    stride_s: Optional[float] = None,
     mel_fn: Optional[Callable] = None,
 ) -> LongformResult:
     """Batched parallel chunked decode + timestamp-stitch merge.
@@ -305,6 +308,10 @@ def chunked_decode(
     rules = DecodeRules.from_special(special, timestamps=True)
     mel_fn = mel_fn or (lambda a: log_mel(a, config.num_mel_bins))
     sot_seq = tokenizer.sot_sequence(language, task, timestamps=True)
+    if chunk_s is None:
+        chunk_s = config.max_source_positions * 2 * 160 / SAMPLE_RATE
+    if stride_s is None:
+        stride_s = chunk_s / 6.0  # the reference default (pipeline.py:224)
 
     chunks = chunk_with_stride(audio, chunk_s, stride_s, stride_s)
 

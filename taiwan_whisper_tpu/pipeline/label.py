@@ -1,0 +1,141 @@
+"""Stage 1: pseudo-labelling — teacher transcribes long-form audio.
+
+TPU-native replacement for the reference's faster-whisper/CTranslate2 driver
+(pseudo-labelling/initial_inference.py:56-122) and its Accelerate-DDP
+variant (training/run_pseudo_labelling.py): the teacher runs as batched
+chunked long-form decode on-device (decode/longform.py), files are sharded
+across hosts by jax.process_index, and each audio file produces the same
+{start,end,text} CSV the downstream segmenter consumes.
+
+A lightweight energy VAD gates obviously-silent chunks before they reach the
+device (the reference relies on faster-whisper's VAD model; here silence is
+additionally caught on-device by the no-speech probe).
+"""
+
+from __future__ import annotations
+
+import csv
+import dataclasses
+import os
+import time
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from ..audio.io import load_audio_16k
+from ..audio.manifest import Manifest, read_manifest
+from ..models.config import DtypePolicy, WhisperConfig
+from ..parallel.mesh import host_local_slice
+from ..text.tokenizer import WhisperTokenizer
+from ..decode.longform import LongformResult, chunked_decode, sequential_decode
+
+
+@dataclasses.dataclass
+class LabelConfig:
+    language: str = "zh"
+    task: str = "transcribe"
+    strategy: str = "chunked"  # | sequential
+    batch_size: int = 16
+    chunk_s: float = 30.0
+    stride_s: float = 5.0
+    energy_vad_threshold: float = 0.0  # 0 disables; else min RMS to transcribe
+
+
+def energy_vad_is_speech(audio: np.ndarray, threshold: float) -> bool:
+    if threshold <= 0:
+        return True
+    return float(np.sqrt(np.mean(np.square(audio)))) >= threshold
+
+
+def write_label_csv(path: str, result: LongformResult, tok: WhisperTokenizer):
+    """{start,end,text} CSV, one row per segment (reference
+    save_transcription_to_csv, initial_inference.py:48-54)."""
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with open(path, "w", encoding="utf-8", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["start", "end", "text"])
+        for seg in result.segments:
+            w.writerow([f"{seg.start:.3f}", f"{seg.end:.3f}", seg.text(tok)])
+
+
+def label_files(
+    params,
+    config: WhisperConfig,
+    tok: WhisperTokenizer,
+    audio_paths: Sequence[str],
+    output_dir: str,
+    cfg: LabelConfig = LabelConfig(),
+    policy: DtypePolicy = DtypePolicy(),
+    *,
+    mel_fn=None,
+    log_every: int = 10,
+) -> dict:
+    """Transcribe each file to <output_dir>/<stem>.csv; returns stats."""
+    os.makedirs(output_dir, exist_ok=True)
+    done = 0
+    skipped = 0
+    audio_seconds = 0.0
+    t0 = time.time()
+    for i, path in enumerate(audio_paths):
+        stem = os.path.splitext(os.path.basename(path))[0]
+        out_csv = os.path.join(output_dir, f"{stem}.csv")
+        if os.path.exists(out_csv):  # resumable (reference per-file try/except)
+            skipped += 1
+            continue
+        try:
+            audio = load_audio_16k(path)
+        except Exception as e:  # tolerate unreadable files like the reference
+            print(f"[label] failed to read {path}: {e}")
+            continue
+        if not energy_vad_is_speech(audio, cfg.energy_vad_threshold):
+            write_label_csv(out_csv, LongformResult(segments=[]), tok)
+            continue
+        if cfg.strategy == "chunked":
+            res = chunked_decode(
+                params, audio, config, tok, policy,
+                language=cfg.language, task=cfg.task,
+                batch_size=cfg.batch_size, chunk_s=cfg.chunk_s,
+                stride_s=cfg.stride_s, mel_fn=mel_fn,
+            )
+        else:
+            res = sequential_decode(
+                params, audio, config, tok, policy,
+                language=cfg.language, task=cfg.task, mel_fn=mel_fn,
+            )
+        write_label_csv(out_csv, res, tok)
+        done += 1
+        audio_seconds += len(audio) / 16000.0
+        if log_every and done % log_every == 0:
+            rate = audio_seconds / max(time.time() - t0, 1e-6)
+            print(f"[label] {done}/{len(audio_paths)} files, "
+                  f"{rate:.1f} audio-s/s")
+    return {
+        "files": done,
+        "skipped": skipped,
+        "audio_seconds": audio_seconds,
+        "wall_seconds": time.time() - t0,
+    }
+
+
+def run_labelling(
+    manifest_path: str,
+    model_dir: str,
+    output_dir: str,
+    cfg: LabelConfig = LabelConfig(),
+    tokenizer_dir: Optional[str] = None,
+) -> dict:
+    """CLI entry: shard the manifest over hosts and label this host's slice."""
+    from ..models.io import load_model
+
+    params, config = load_model(model_dir)
+    tok = (
+        WhisperTokenizer.from_pretrained_dir(tokenizer_dir)
+        if tokenizer_dir
+        else WhisperTokenizer()
+    )
+    manifest = read_manifest(manifest_path)
+    paths = manifest.absolute_paths()
+    shard = host_local_slice(len(paths))
+    return label_files(
+        params, config, tok, paths[shard], output_dir, cfg
+    )

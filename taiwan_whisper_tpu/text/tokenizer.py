@@ -175,7 +175,7 @@ class WhisperTokenizer:
         self.vocab = vocab
         self.inv_vocab = {v: k for k, v in vocab.items()} if vocab else None
         self.bpe_ranks = (
-            {pair: i for i, pair in enumerate(merges)} if merges else None
+            {pair: i for i, pair in enumerate(merges)} if merges is not None else None
         )
         self.byte_encoder = bytes_to_unicode()
         self.byte_decoder = {v: k for k, v in self.byte_encoder.items()}
@@ -342,6 +342,80 @@ class WhisperTokenizer:
                 pieces.append(f"<unk-{i}>")
         flush()
         return "".join(pieces)
+
+
+def _marker_to_id(tok: "WhisperTokenizer", marker: str) -> Optional[int]:
+    """'<|...|>' string -> token id (timestamps, specials, languages, added)."""
+    s = tok.special
+    ts = parse_timestamp_str(marker)
+    if ts is not None:
+        return s.seconds_to_timestamp(ts)
+    names = {
+        "<|endoftext|>": s.eot,
+        "<|startoftranscript|>": s.sot,
+        "<|translate|>": s.translate,
+        "<|transcribe|>": s.transcribe,
+        "<|startoflm|>": s.start_of_lm,
+        "<|startofprev|>": s.sot_prev,
+        "<|nospeech|>": s.no_speech,
+        "<|notimestamps|>": s.no_timestamps,
+    }
+    if marker in names:
+        return names[marker]
+    if marker in tok.added_tokens:
+        return tok.added_tokens[marker]
+    inner = marker[2:-2]
+    langs = LANGUAGES_V3 if s.n_languages == 100 else LANGUAGES
+    if inner in langs:
+        return s.language_id(inner)
+    return None
+
+
+def encode_transcript(
+    tok: "WhisperTokenizer",
+    text: str,
+    *,
+    language: str = "zh",
+    task: str = "transcribe",
+    predict_timestamps: bool = True,
+    add_special_tokens: Optional[bool] = None,
+) -> List[int]:
+    """Segment-transcript string -> token ids.
+
+    '<|..|>' markers map to their special/timestamp ids; plain text spans go
+    through BPE. When the string carries no '<|transcribe|>' marker, the sot
+    prefix [sot, lang, task(, notimestamps)] is prepended and <|endoftext|>
+    appended — matching the reference's
+    `tokenizer(input_str, add_special_tokens=not "<|transcribe|>" in input)`
+    (run_distillation.py:1231 with set_prefix_tokens at :1081).
+    """
+    if add_special_tokens is None:
+        add_special_tokens = "<|transcribe|>" not in text
+    ids: List[int] = []
+    i = 0
+    while i < len(text):
+        j = text.find("<|", i)
+        if j < 0:
+            if text[i:]:
+                ids.extend(tok.encode_text(text[i:]))
+            break
+        if text[i:j]:
+            ids.extend(tok.encode_text(text[i:j]))
+        k = text.find("|>", j + 2)
+        if k < 0:
+            ids.extend(tok.encode_text(text[j:]))
+            break
+        marker = text[j : k + 2]
+        mid = _marker_to_id(tok, marker)
+        if mid is None:
+            ids.extend(tok.encode_text(marker))
+        else:
+            ids.append(mid)
+        i = k + 2
+    if add_special_tokens:
+        prefix = tok.sot_sequence(language, task, timestamps=predict_timestamps)
+        ids = prefix + ids + [tok.special.eot]
+    return ids
 
 
 def strip_markers(text: str) -> str:

@@ -1,0 +1,60 @@
+"""Pluggable metrics sinks (stdout, JSONL, optional wandb).
+
+The reference hard-requires wandb (training/run_eval.py:445-446,
+run_distillation.py log_metric). Here wandb is one optional sink; the JSONL
+file is the system of record so training is observable offline.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from typing import Dict, Optional
+
+
+class MetricsLogger:
+    def __init__(
+        self,
+        output_dir: Optional[str] = None,
+        use_wandb: bool = False,
+        wandb_project: str = "taiwan-whisper-tpu",
+        run_name: Optional[str] = None,
+    ):
+        self._jsonl = None
+        if output_dir:
+            os.makedirs(output_dir, exist_ok=True)
+            self._jsonl = open(
+                os.path.join(output_dir, "metrics.jsonl"), "a", encoding="utf-8"
+            )
+        self._wandb = None
+        if use_wandb:
+            try:  # pragma: no cover - wandb optional
+                import wandb
+
+                self._wandb = wandb
+                wandb.init(project=wandb_project, name=run_name)
+            except Exception as e:
+                print(f"[metrics] wandb unavailable ({e}); continuing without")
+
+    def log(self, metrics: Dict[str, float], step: int, prefix: str = "train"):
+        payload = {f"{prefix}/{k}": float(v) for k, v in metrics.items()}
+        payload["step"] = step
+        payload["time"] = time.time()
+        line = " ".join(
+            f"{k}={v:.5g}" if isinstance(v, float) else f"{k}={v}"
+            for k, v in payload.items() if k != "time"
+        )
+        print(f"[{prefix}] {line}", flush=True)
+        if self._jsonl:
+            self._jsonl.write(json.dumps(payload) + "\n")
+            self._jsonl.flush()
+        if self._wandb:  # pragma: no cover
+            self._wandb.log(payload, step=step)
+
+    def close(self):
+        if self._jsonl:
+            self._jsonl.close()
+        if self._wandb:  # pragma: no cover
+            self._wandb.finish()
