@@ -106,8 +106,26 @@ def _self_attn_block(p: Params, x: jnp.ndarray, n_heads: int, mask, dtype):
     q = shard(q, "batch", "length", "heads", "kv")
     k = shard(k, "batch", "length", "heads", "kv")
     v = shard(v, "batch", "length", "heads", "kv")
-    out = _attention(q, k, v, mask, dtype)
+    if mask is None and _use_pallas_attention(q.shape):
+        from ..ops.attention import encoder_attention
+
+        out = encoder_attention(q, k, v)
+    else:
+        out = _attention(q, k, v, mask, dtype)
     return _dense(p["out"], _merge_heads(out), dtype)
+
+
+def _use_pallas_attention(q_shape) -> bool:
+    """Route unmasked (encoder) self-attention through the Pallas kernel on
+    TPU backends; einsum elsewhere (ops/attention.py)."""
+    try:
+        from ..ops.attention import supported
+
+        if not supported(q_shape[1], q_shape[3]):
+            return False
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
 
 
 def _mlp_block(p_fc1: Params, p_fc2: Params, x: jnp.ndarray, dtype):
@@ -392,6 +410,81 @@ def decode_step(
     x = _layer_norm(p["ln_post"], x)
     logits = jnp.dot(
         x[:, 0].astype(jnp.float32),
+        p["embed_tokens"].astype(jnp.float32).T,
+        preferred_element_type=jnp.float32,
+    )
+    return logits, KVCache(k=new_k, v=new_v)
+
+
+def extend(
+    params: Params,
+    cross_kv: Tuple[jnp.ndarray, jnp.ndarray],
+    cache: KVCache,
+    tokens: jnp.ndarray,  # [B, P] tokens at positions offset..offset+P-1
+    offset: jnp.ndarray,  # scalar int32: first position of `tokens`
+    config: WhisperConfig,
+    policy: DtypePolicy = DtypePolicy(),
+) -> Tuple[jnp.ndarray, KVCache]:
+    """Multi-token decode: process P tokens in one pass against an existing
+    cache (valid below ``offset``), returning fp32 logits for ALL P positions
+    [B, P, vocab] and the updated cache.
+
+    This is the verification primitive for speculative decoding (reference
+    feature: training/run_eval.py:524-545 assistant-model decoding): the
+    teacher scores a draft chunk in one matmul-bound pass.
+    """
+    p = params["decoder"]
+    dtype = policy.compute_dtype
+    n_heads = config.decoder_attention_heads
+    b, plen = tokens.shape
+    s = cache.max_len
+
+    x = p["embed_tokens"].astype(dtype)[tokens]
+    pos_emb = jax.lax.dynamic_slice_in_dim(
+        p["embed_positions"].astype(dtype), offset, plen, axis=0
+    )
+    x = x + pos_emb[None]
+
+    # mask over cache keys: position k visible to query i iff k <= offset + i
+    key_pos = jnp.arange(s)[None, None, None, :]  # [1,1,1,S]
+    q_pos = offset + jnp.arange(plen)[None, None, :, None]  # [1,1,P,1]
+    mask = key_pos <= q_pos
+
+    cross_k, cross_v = cross_kv
+
+    def layer(x, xs):
+        lp, ck, cv, xk, xv = xs
+        h = _layer_norm(lp["self_attn_ln"], x)
+        q = _split_heads(_dense(lp["self_attn"]["q"], h, dtype), n_heads)
+        k = _split_heads(_dense(lp["self_attn"]["k"], h, dtype), n_heads)
+        v = _split_heads(_dense(lp["self_attn"]["v"], h, dtype), n_heads)
+        k_t = jnp.transpose(k, (0, 2, 3, 1)).astype(ck.dtype)  # [B,H,Dh,P]
+        v_t = jnp.transpose(v, (0, 2, 3, 1)).astype(cv.dtype)
+        ck = jax.lax.dynamic_update_slice(ck, k_t, (0, 0, 0, offset))
+        cv = jax.lax.dynamic_update_slice(cv, v_t, (0, 0, 0, offset))
+        dh = q.shape[-1]
+        logits = jnp.einsum(
+            "bphd,bhds->bhps", q * (dh ** -0.5), ck,
+            preferred_element_type=jnp.float32,
+        )
+        logits = jnp.where(mask, logits, jnp.finfo(jnp.float32).min)
+        probs = jax.nn.softmax(logits, axis=-1).astype(dtype)
+        att = jnp.einsum("bhps,bhds->bphd", probs, cv, preferred_element_type=dtype)
+        x = x + _dense(lp["self_attn"]["out"], _merge_heads(att), dtype)
+        h = _layer_norm(lp["cross_attn_ln"], x)
+        q = _split_heads(_dense(lp["cross_attn"]["q"], h, dtype), n_heads)
+        att = _attention(q, xk, xv, None, dtype)
+        x = x + _dense(lp["cross_attn"]["out"], _merge_heads(att), dtype)
+        h = _layer_norm(lp["final_ln"], x)
+        x = x + _mlp_block(lp["fc1"], lp["fc2"], h, dtype)
+        return x, (ck, cv)
+
+    x, (new_k, new_v) = jax.lax.scan(
+        layer, x, (p["layers"], cache.k, cache.v, cross_k, cross_v)
+    )
+    x = _layer_norm(p["ln_post"], x)
+    logits = jnp.dot(
+        x.astype(jnp.float32),
         p["embed_tokens"].astype(jnp.float32).T,
         preferred_element_type=jnp.float32,
     )
