@@ -192,7 +192,12 @@ def cmd_make_manifest(args):
 
 
 def build_parser() -> argparse.ArgumentParser:
-    ap = argparse.ArgumentParser(prog="taiwan_whisper_tpu")
+    # @file support: `cli distill @configs/distill_32_2.args` reads one
+    # argument per line — the role of the reference's per-experiment shell
+    # scripts (SURVEY.md §2.2 F13)
+    ap = argparse.ArgumentParser(
+        prog="taiwan_whisper_tpu", fromfile_prefix_chars="@"
+    )
     sub = ap.add_subparsers(dest="command", required=True)
 
     p = sub.add_parser("label", help="stage 1: pseudo-label long audio")

@@ -14,6 +14,7 @@ from __future__ import annotations
 import dataclasses
 import itertools
 import os
+import signal
 import time
 from typing import Dict, Iterator, Optional
 
@@ -151,6 +152,20 @@ def run_distillation(
                 )
                 epoch += 1
 
+        # preemption safety the reference lacks (SURVEY.md §5 "no preemption
+        # handling despite TPU targeting"): SIGTERM/SIGINT set a flag; the
+        # loop checkpoints and exits cleanly at the next step boundary
+        preempted = {"flag": False}
+
+        def _on_signal(signum, frame):
+            preempted["flag"] = True
+            print(f"[distill] signal {signum}: checkpointing at next step")
+
+        old_handlers = {
+            s: signal.signal(s, _on_signal)
+            for s in (signal.SIGTERM, signal.SIGINT)
+        }
+
         t_last = time.time()
         step = start_step
         final_metrics: Dict[str, float] = {}
@@ -160,6 +175,10 @@ def run_distillation(
             next(stream, None)
         for batch in stream:
             if step >= run_cfg.max_steps:
+                break
+            if preempted["flag"]:
+                ckpt.save(step, {"params": student_s, "opt_state": opt_state})
+                print(f"[distill] preempted; saved checkpoint-{step}")
                 break
             batch = jax.device_put(batch, batch_sharding)
             student_s, opt_state, metrics = jit_step(
@@ -180,5 +199,7 @@ def run_distillation(
                     os.path.join(output_dir, "hf_export"),
                     jax.device_get(student_s), student_cfg,
                 )
+        for s, h in old_handlers.items():
+            signal.signal(s, h)
         logger.close()
     return final_metrics
