@@ -125,6 +125,32 @@ def cmd_distill(args):
             condition_on_prev_probability=args.condition_on_prev_probability,
         ),
         tokenizer_dir=args.tokenizer_dir,
+        eval_manifest_path=args.eval_manifest,
+    )
+    print(json.dumps(metrics))
+
+
+def cmd_finetune(args):
+    from .pipeline.dataset import TrainPrepConfig
+    from .pipeline.distill_driver import DistillRunConfig, run_finetuning
+    from .train.state import OptimConfig
+
+    _maybe_init_distributed(args)
+    metrics = run_finetuning(
+        args.manifest, args.model, args.output_dir,
+        freeze_encoder=args.freeze_encoder,
+        run_cfg=DistillRunConfig(
+            max_steps=args.max_steps, batch_size=args.batch_size,
+            model_parallel=args.model_parallel, save_steps=args.save_steps,
+            eval_steps=args.eval_steps, mix_lang_embeddings=False,
+        ),
+        opt_cfg=OptimConfig(
+            learning_rate=args.learning_rate, warmup_steps=args.warmup_steps,
+            total_steps=args.max_steps,
+        ),
+        prep_cfg=TrainPrepConfig(language=args.language),
+        tokenizer_dir=args.tokenizer_dir,
+        eval_manifest_path=args.eval_manifest,
     )
     print(json.dumps(metrics))
 
@@ -251,8 +277,26 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--timestamp_probability", type=float, default=0.2)
     p.add_argument("--condition_on_prev_probability", type=float, default=0.2)
     p.add_argument("--wandb", action="store_true")
+    p.add_argument("--eval_manifest", default=None)
     _add_common(p)
     p.set_defaults(fn=cmd_distill)
+
+    p = sub.add_parser("finetune", help="CE-only seq2seq fine-tuning")
+    p.add_argument("--manifest", required=True)
+    p.add_argument("--model", required=True)
+    p.add_argument("--output_dir", required=True)
+    p.add_argument("--max_steps", type=int, default=10_000)
+    p.add_argument("--batch_size", type=int, default=32)
+    p.add_argument("--model_parallel", type=int, default=1)
+    p.add_argument("--save_steps", type=int, default=1000)
+    p.add_argument("--eval_steps", type=int, default=1000)
+    p.add_argument("--learning_rate", type=float, default=1e-5)
+    p.add_argument("--warmup_steps", type=int, default=50)
+    p.add_argument("--freeze_encoder", action="store_true")
+    p.add_argument("--language", default="zh")
+    p.add_argument("--eval_manifest", default=None)
+    _add_common(p)
+    p.set_defaults(fn=cmd_finetune)
 
     p = sub.add_parser("evaluate", help="stage 4: MER + RTF eval")
     p.add_argument("--manifest", required=True)

@@ -35,10 +35,16 @@ from ..models.params import (
 from ..ops.mel_kernel import log_mel_pallas
 from ..parallel.mesh import make_mesh, use_mesh
 from ..parallel.specs import shard_params
-from ..train.distill import DistillConfig, distill_loss, make_train_step
+from ..train.distill import (
+    DistillConfig,
+    distill_loss,
+    make_eval_step,
+    make_train_step,
+)
 from ..train.state import CheckpointManager, OptimConfig, make_optimizer
 from ..text.tokenizer import WhisperTokenizer
 from ..utils.logging import MetricsLogger
+from ..utils.prefetch import prefetch
 from .dataset import TrainPrepConfig, train_batches
 
 
@@ -98,11 +104,15 @@ def run_distillation(
     opt_cfg = opt_cfg or OptimConfig(total_steps=run_cfg.max_steps)
     optimizer = make_optimizer(opt_cfg)
 
-    # pad/trim to the student's context length (30 s for real models)
-    if prep_cfg.chunk_samples != student_cfg.max_source_positions * 320:
-        prep_cfg = dataclasses.replace(
-            prep_cfg, chunk_samples=student_cfg.max_source_positions * 320
-        )
+    # pad/trim audio to the student's context and labels to its decoder
+    # length (30 s / 448 for real models)
+    prep_cfg = dataclasses.replace(
+        prep_cfg,
+        chunk_samples=student_cfg.max_source_positions * 320,
+        max_label_length=min(
+            prep_cfg.max_label_length, student_cfg.max_target_positions
+        ),
+    )
     mesh = make_mesh(data=-1, model=run_cfg.model_parallel)
     n_frames = student_cfg.max_source_positions * 2
     on_tpu = jax.devices()[0].platform not in ("cpu",)
@@ -125,9 +135,12 @@ def run_distillation(
 
     manifest = read_manifest(train_manifest_path)
 
+    need_teacher = dcfg.kl_weight > 0.0 or dcfg.mse_weight > 0.0
     with use_mesh(mesh):
         student_s = shard_params(mesh, student_params)
-        teacher_s = shard_params(mesh, teacher_params)
+        # CE-only fine-tuning never reads teacher params: alias them to the
+        # student so no second copy occupies HBM
+        teacher_s = shard_params(mesh, teacher_params) if need_teacher else student_s
         opt_state = optimizer.init(student_s)
         start_step = 0
         if run_cfg.resume:
@@ -142,6 +155,56 @@ def run_distillation(
 
         jit_step = jax.jit(step_with_mel, donate_argnums=(0, 1))
         batch_sharding = NamedSharding(mesh, P("data"))
+
+        # held-out eval: loss-only step over a fixed batch set, tracking the
+        # best checkpoint (reference eval_step:1554-1578 + save_valid_best)
+        eval_batches = []
+        if eval_manifest_path:
+            eval_prep = dataclasses.replace(
+                prep_cfg, timestamp_probability=1.0,
+                condition_on_prev_probability=0.0,
+            )
+            eval_manifest = read_manifest(eval_manifest_path)
+            for eb in train_batches(
+                eval_manifest, tok, eval_prep, run_cfg.batch_size,
+                seed=0, shuffle=False,
+            ):
+                eval_batches.append(eb)
+                if len(eval_batches) >= 8:
+                    break
+        base_eval = make_eval_step(student_cfg, teacher_cfg, dcfg, policy)
+
+        def eval_with_mel(student_params, teacher_params, batch):
+            audio = batch.pop("audio", None)
+            if audio is not None:
+                mel = (log_mel_pallas(audio, student_cfg.num_mel_bins)
+                       if use_pallas_mel
+                       else log_mel(audio, student_cfg.num_mel_bins))
+                batch = dict(batch, mel=mel)
+            return base_eval(student_params, teacher_params, batch)
+
+        jit_eval = jax.jit(eval_with_mel)
+        best_eval_loss = float("inf")
+
+        def run_eval(step):
+            nonlocal best_eval_loss
+            if not eval_batches:
+                return
+            totals: Dict[str, float] = {}
+            for eb in eval_batches:
+                m = jit_eval(
+                    student_s, teacher_s, jax.device_put(eb, batch_sharding)
+                )
+                for k, v in m.items():
+                    totals[k] = totals.get(k, 0.0) + float(v)
+            avg = {k: v / len(eval_batches) for k, v in totals.items()}
+            logger.log(avg, step, prefix="eval")
+            if avg["loss"] < best_eval_loss:
+                best_eval_loss = avg["loss"]
+                ckpt.save(step, {"params": student_s, "opt_state": opt_state},
+                          keep=True)
+                print(f"[distill] new best eval loss {best_eval_loss:.4f} "
+                      f"@ step {step} (kept)")
 
         def batch_stream() -> Iterator[Dict[str, np.ndarray]]:
             epoch = 0
@@ -173,7 +236,7 @@ def run_distillation(
         # skip already-consumed batches on resume (reference :1607-1640)
         for _ in range(start_step):
             next(stream, None)
-        for batch in stream:
+        for batch in prefetch(stream, buffer_size=2):
             if step >= run_cfg.max_steps:
                 break
             if preempted["flag"]:
@@ -193,6 +256,8 @@ def run_distillation(
                 t_last = time.time()
                 logger.log(host, step)
                 final_metrics = host
+            if step % run_cfg.eval_steps == 0 or step == run_cfg.max_steps:
+                run_eval(step)
             if step % run_cfg.save_steps == 0 or step == run_cfg.max_steps:
                 ckpt.save(step, {"params": student_s, "opt_state": opt_state})
                 save_hf_checkpoint(
@@ -203,3 +268,34 @@ def run_distillation(
             signal.signal(s, h)
         logger.close()
     return final_metrics
+
+
+def run_finetuning(
+    train_manifest_path: str,
+    model_dir: str,
+    output_dir: str,
+    *,
+    freeze_encoder: bool = False,
+    run_cfg: DistillRunConfig = DistillRunConfig(),
+    opt_cfg: Optional[OptimConfig] = None,
+    prep_cfg: TrainPrepConfig = TrainPrepConfig(),
+    tokenizer_dir: Optional[str] = None,
+    eval_manifest_path: Optional[str] = None,
+    policy: DtypePolicy = DtypePolicy(),
+) -> Dict[str, float]:
+    """Plain CE seq2seq fine-tuning (reference flax/run_finetuning.py):
+    the same loop with the teacher path disabled."""
+    return run_distillation(
+        train_manifest_path, model_dir, output_dir,
+        student_dir=model_dir,
+        run_cfg=run_cfg,
+        dcfg=DistillConfig(
+            ce_weight=1.0, kl_weight=0.0, mse_weight=0.0,
+            freeze_encoder=freeze_encoder,
+        ),
+        opt_cfg=opt_cfg,
+        prep_cfg=prep_cfg,
+        tokenizer_dir=tokenizer_dir,
+        eval_manifest_path=eval_manifest_path,
+        policy=policy,
+    )

@@ -103,29 +103,38 @@ def distill_loss(
         enc = jax.lax.stop_gradient(enc)
 
     need_mse = dcfg.mse_weight > 0.0
+    # CE-only fine-tuning (reference flax/run_finetuning.py:880-903) skips
+    # the teacher forward entirely
+    need_teacher = dcfg.kl_weight > 0.0 or need_mse
     s_out = M.decode_train(
         student_params, enc, dec_in, student_config, policy,
         output_hidden_states=need_mse,
     )
-    t_out = M.decode_train(
-        teacher_params, enc, dec_in, teacher_config, policy,
-        output_hidden_states=need_mse,
-    )
     if need_mse:
         s_logits, s_hidden = s_out
-        t_logits, t_hidden = jax.lax.stop_gradient(t_out)
     else:
         s_logits, s_hidden = s_out, None
-        t_logits, t_hidden = jax.lax.stop_gradient(t_out), None
+    t_logits = t_hidden = None
+    if need_teacher:
+        t_out = M.decode_train(
+            teacher_params, enc, dec_in, teacher_config, policy,
+            output_hidden_states=need_mse,
+        )
+        if need_mse:
+            t_logits, t_hidden = jax.lax.stop_gradient(t_out)
+        else:
+            t_logits = jax.lax.stop_gradient(t_out)
 
     ce_sum, n_tok = masked_cross_entropy(s_logits, labels)
-    kl_sum, _ = kl_divergence(t_logits, s_logits, labels, dcfg.temperature)
     n_tok = jnp.maximum(n_tok, 1)
     ce = ce_sum / n_tok
-    kl = kl_sum / n_tok
-    loss = dcfg.ce_weight * ce + dcfg.kl_weight * kl
-
-    metrics = {"ce": ce, "kl": kl}
+    loss = dcfg.ce_weight * ce
+    metrics = {"ce": ce}
+    if need_teacher:
+        kl_sum, _ = kl_divergence(t_logits, s_logits, labels, dcfg.temperature)
+        kl = kl_sum / n_tok
+        loss = loss + dcfg.kl_weight * kl
+        metrics["kl"] = kl
     if need_mse:
         # maximally-spaced teacher layers supervise student layers
         # (flax reference get_layers_to_supervise:971-987 + :1681-1718)

@@ -104,6 +104,8 @@ class CheckpointManager:
     def save(self, step: int, state: Dict[str, Any], keep: bool = False):
         path = self._path(step)
         if os.path.exists(path):
+            # re-saving the same step must not demote a protected checkpoint
+            keep = keep or os.path.exists(os.path.join(path, ".keep"))
             shutil.rmtree(path)
         self._ckptr.save(path, state)
         if keep:  # mark as protected from rotation (best checkpoint)

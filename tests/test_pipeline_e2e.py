@@ -172,6 +172,27 @@ def test_full_pipeline(tmp_path, model_dirs, byte_tokenizer_dir):
     student, scfg = load_model(str(out_dir / "hf_export"))
     assert scfg.decoder_layers == 1
 
+    # ---- fine-tuning variant (CE-only, no teacher) + held-out eval --------
+    from taiwan_whisper_tpu.pipeline.distill_driver import run_finetuning
+
+    ft_dir = tmp_path / "finetune"
+    ft_metrics = run_finetuning(
+        str(seg_manifest), str(out_dir / "hf_export"), str(ft_dir),
+        run_cfg=DistillRunConfig(max_steps=2, batch_size=8, save_steps=2,
+                                 eval_steps=2, logging_steps=1,
+                                 mix_lang_embeddings=False),
+        prep_cfg=TrainPrepConfig(max_label_length=48),
+        tokenizer_dir=byte_tokenizer_dir,
+        eval_manifest_path=str(seg_manifest),
+    )
+    assert np.isfinite(ft_metrics["loss"])
+    assert "kl" not in ft_metrics  # teacher path disabled
+    # held-out eval ran and kept a best checkpoint
+    import glob as _glob
+    kept = [p for p in _glob.glob(str(ft_dir / "checkpoints" / "checkpoint-*"))
+            if os.path.exists(os.path.join(p, ".keep"))]
+    assert kept, "eval did not mark a best checkpoint"
+
     # ---- stage 4: evaluation on the segment manifest ----------------------
     tok = WhisperTokenizer.from_pretrained_dir(byte_tokenizer_dir)
     res = evaluate_manifest(
