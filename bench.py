@@ -57,7 +57,9 @@ def main() -> None:
             mel = log_mel(audio)
         enc = M.encode(params, mel, config, policy)
         res = greedy_decode(
-            params, enc, prefix, config, rules, policy, max_len=max_len
+            params, enc, prefix, config, rules, policy, max_len=max_len,
+            quantize_cross_kv=True,  # int8 cross-KV: the optimized labelling
+            # config (+~20%; top-1 parity verified in tests)
         )
         return res.tokens
 

@@ -49,6 +49,8 @@ def cmd_label(args):
             language=args.language, strategy=args.strategy,
             batch_size=args.batch_size,
             energy_vad_threshold=args.energy_vad_threshold,
+            vad_regions=args.vad,
+            quantize_kv=args.quantize_kv,
         ),
         tokenizer_dir=args.tokenizer_dir,
     )
@@ -234,6 +236,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--strategy", default="chunked", choices=["chunked", "sequential"])
     p.add_argument("--batch_size", type=int, default=16)
     p.add_argument("--energy_vad_threshold", type=float, default=0.0)
+    p.add_argument("--vad", action="store_true",
+                   help="decode only detected speech regions")
+    p.add_argument("--quantize_kv", action="store_true",
+                   help="int8 cross-KV for ~20%% more decode throughput")
     _add_common(p)
     p.set_defaults(fn=cmd_label)
 

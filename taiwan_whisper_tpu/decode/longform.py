@@ -144,6 +144,7 @@ def sequential_decode(
     max_prompt_tokens: int = 223,
     mel_fn: Optional[Callable] = None,
     seed: int = 0,
+    quantize_cross_kv: bool = False,
 ) -> LongformResult:
     """OpenAI-style sequential long-form decode of one audio stream.
 
@@ -171,6 +172,7 @@ def sequential_decode(
                 return greedy_decode(
                     params, enc, prefix, config, rules, policy,
                     temperature=_t, rng=rng, sot_index=_si,
+                    quantize_cross_kv=quantize_cross_kv,
                 )
             _cache[key] = jax.jit(fn)
         return _cache[key](audio_chunk, prefix_arr, rng)
@@ -296,6 +298,7 @@ def chunked_decode(
     chunk_s: Optional[float] = None,
     stride_s: Optional[float] = None,
     mel_fn: Optional[Callable] = None,
+    quantize_cross_kv: bool = False,
 ) -> LongformResult:
     """Batched parallel chunked decode + timestamp-stitch merge.
 
@@ -319,7 +322,8 @@ def chunked_decode(
     def decode_batch(audio_batch, prefix):
         mel = mel_fn(audio_batch)
         enc = M.encode(params, mel, config, policy)
-        return greedy_decode(params, enc, prefix, config, rules, policy)
+        return greedy_decode(params, enc, prefix, config, rules, policy,
+                             quantize_cross_kv=quantize_cross_kv)
 
     all_segments: List[TranscriptSegment] = []
     for i in range(0, len(chunks), batch_size):

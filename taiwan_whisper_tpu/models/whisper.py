@@ -332,6 +332,63 @@ def precompute_cross_kv(
     return ks, vs
 
 
+@dataclasses.dataclass
+class QuantCrossKV:
+    """int8 cross-attention K/V with per-(layer,batch,head,channel) scales.
+
+    Streaming the cross K/V is the dominant HBM traffic of incremental
+    decoding (whisper-base batch 64: ~1.2 GB/step in bf16); int8 halves it.
+    Scales fold into q (for K) and into the attention output (for V), so the
+    only per-step extra work is the int8->bf16 cast fused into the dots.
+    """
+
+    k_q: jnp.ndarray  # [L, B, T, H, Dh] int8
+    k_scale: jnp.ndarray  # [L, B, 1, H, Dh] fp32
+    v_q: jnp.ndarray
+    v_scale: jnp.ndarray
+
+
+jax.tree_util.register_dataclass(
+    QuantCrossKV,
+    data_fields=["k_q", "k_scale", "v_q", "v_scale"],
+    meta_fields=[],
+)
+
+
+def quantize_cross_kv(cross_kv) -> QuantCrossKV:
+    """Symmetric per-channel int8 quantization over the time axis."""
+    k, v = cross_kv
+
+    def q(x):
+        m = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=2, keepdims=True)
+        scale = m / 127.0 + 1e-12
+        xq = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127)
+        return xq.astype(jnp.int8), scale.astype(jnp.float32)
+
+    kq, ks = q(k)
+    vq, vs = q(v)
+    return QuantCrossKV(k_q=kq, k_scale=ks, v_q=vq, v_scale=vs)
+
+
+def _cross_xs(cross_kv):
+    """Per-layer scan xs for either plain (k, v) or QuantCrossKV."""
+    if isinstance(cross_kv, QuantCrossKV):
+        return (cross_kv.k_q, cross_kv.k_scale, cross_kv.v_q, cross_kv.v_scale)
+    return cross_kv
+
+
+def _cross_attention(q, cross_slice, dtype):
+    """q [B, Sq, H, Dh] against one layer's cross K/V (plain or int8)."""
+    if len(cross_slice) == 4:
+        kq, ks, vq, vs = cross_slice
+        # fold the K scale into q; cast int8 operands inside the dots
+        qs = (q.astype(jnp.float32) * ks).astype(dtype)
+        att = _attention(qs, kq.astype(dtype), vq.astype(dtype), None, dtype)
+        return (att.astype(jnp.float32) * vs).astype(dtype)
+    xk, xv = cross_slice
+    return _attention(q, xk, xv, None, dtype)
+
+
 def _cached_self_attn(lp, h, cache_k, cache_v, index, n_heads, dtype,
                       valid_from=None):
     """One-token self-attention against the transposed cache.
@@ -387,10 +444,11 @@ def decode_step(
     x = p["embed_tokens"].astype(dtype)[token]  # [B,1,d]
     x = x + p["embed_positions"].astype(dtype)[index][None, None]
 
-    cross_k, cross_v = cross_kv
+    cross_xs = _cross_xs(cross_kv)
 
     def layer(x, xs):
-        lp, ck, cv, xk, xv = xs
+        lp, ck, cv = xs[:3]
+        cross_slice = xs[3:]
         h = _layer_norm(lp["self_attn_ln"], x)
         att, ck, cv = _cached_self_attn(
             lp["self_attn"], h, ck, cv, index, n_heads, dtype, valid_from
@@ -398,14 +456,14 @@ def decode_step(
         x = x + att
         h = _layer_norm(lp["cross_attn_ln"], x)
         q = _split_heads(_dense(lp["cross_attn"]["q"], h, dtype), n_heads)
-        att = _attention(q, xk, xv, None, dtype)
+        att = _cross_attention(q, cross_slice, dtype)
         x = x + _dense(lp["cross_attn"]["out"], _merge_heads(att), dtype)
         h = _layer_norm(lp["final_ln"], x)
         x = x + _mlp_block(lp["fc1"], lp["fc2"], h, dtype)
         return x, (ck, cv)
 
     x, (new_k, new_v) = jax.lax.scan(
-        layer, x, (p["layers"], cache.k, cache.v, cross_k, cross_v)
+        layer, x, (p["layers"], cache.k, cache.v) + cross_xs
     )
     x = _layer_norm(p["ln_post"], x)
     logits = jnp.dot(
@@ -450,10 +508,11 @@ def extend(
     q_pos = offset + jnp.arange(plen)[None, None, :, None]  # [1,1,P,1]
     mask = key_pos <= q_pos
 
-    cross_k, cross_v = cross_kv
+    cross_xs = _cross_xs(cross_kv)
 
     def layer(x, xs):
-        lp, ck, cv, xk, xv = xs
+        lp, ck, cv = xs[:3]
+        cross_slice = xs[3:]
         h = _layer_norm(lp["self_attn_ln"], x)
         q = _split_heads(_dense(lp["self_attn"]["q"], h, dtype), n_heads)
         k = _split_heads(_dense(lp["self_attn"]["k"], h, dtype), n_heads)
@@ -473,14 +532,14 @@ def extend(
         x = x + _dense(lp["self_attn"]["out"], _merge_heads(att), dtype)
         h = _layer_norm(lp["cross_attn_ln"], x)
         q = _split_heads(_dense(lp["cross_attn"]["q"], h, dtype), n_heads)
-        att = _attention(q, xk, xv, None, dtype)
+        att = _cross_attention(q, cross_slice, dtype)
         x = x + _dense(lp["cross_attn"]["out"], _merge_heads(att), dtype)
         h = _layer_norm(lp["final_ln"], x)
         x = x + _mlp_block(lp["fc1"], lp["fc2"], h, dtype)
         return x, (ck, cv)
 
     x, (new_k, new_v) = jax.lax.scan(
-        layer, x, (p["layers"], cache.k, cache.v, cross_k, cross_v)
+        layer, x, (p["layers"], cache.k, cache.v) + cross_xs
     )
     x = _layer_norm(p["ln_post"], x)
     logits = jnp.dot(
@@ -526,10 +585,11 @@ def prefill(
         keep = jnp.arange(pl_len)[None, :] >= valid_from[:, None]  # [B, P]
         mask = mask & keep[:, None, None, :]
 
-    cross_k, cross_v = cross_kv
+    cross_xs = _cross_xs(cross_kv)
 
     def layer(x, xs):
-        lp, ck, cv, xk, xv = xs
+        lp, ck, cv = xs[:3]
+        cross_slice = xs[3:]
         h = _layer_norm(lp["self_attn_ln"], x)
         q = _split_heads(_dense(lp["self_attn"]["q"], h, dtype), n_heads)
         k = _split_heads(_dense(lp["self_attn"]["k"], h, dtype), n_heads)
@@ -543,14 +603,14 @@ def prefill(
         cv = jax.lax.dynamic_update_slice(cv, v_t.astype(cv.dtype), (0, 0, 0, 0))
         h = _layer_norm(lp["cross_attn_ln"], x)
         q = _split_heads(_dense(lp["cross_attn"]["q"], h, dtype), n_heads)
-        att = _attention(q, xk, xv, None, dtype)
+        att = _cross_attention(q, cross_slice, dtype)
         x = x + _dense(lp["cross_attn"]["out"], _merge_heads(att), dtype)
         h = _layer_norm(lp["final_ln"], x)
         x = x + _mlp_block(lp["fc1"], lp["fc2"], h, dtype)
         return x, (ck, cv)
 
     x, (new_k, new_v) = jax.lax.scan(
-        layer, x, (p["layers"], cache.k, cache.v, cross_k, cross_v)
+        layer, x, (p["layers"], cache.k, cache.v) + cross_xs
     )
     x = _layer_norm(p["ln_post"], x)
     head = p["embed_tokens"].astype(jnp.float32).T

@@ -39,6 +39,8 @@ class LabelConfig:
     chunk_s: float = 30.0
     stride_s: float = 5.0
     energy_vad_threshold: float = 0.0  # 0 disables; else min RMS to transcribe
+    vad_regions: bool = False  # decode only detected speech regions
+    quantize_kv: bool = False  # int8 cross-KV (+~20% throughput, near-parity)
 
 
 def energy_vad_is_speech(audio: np.ndarray, threshold: float) -> bool:
@@ -90,18 +92,38 @@ def label_files(
         if not energy_vad_is_speech(audio, cfg.energy_vad_threshold):
             write_label_csv(out_csv, LongformResult(segments=[]), tok)
             continue
-        if cfg.strategy == "chunked":
-            res = chunked_decode(
-                params, audio, config, tok, policy,
-                language=cfg.language, task=cfg.task,
-                batch_size=cfg.batch_size, chunk_s=cfg.chunk_s,
-                stride_s=cfg.stride_s, mel_fn=mel_fn,
-            )
-        else:
-            res = sequential_decode(
-                params, audio, config, tok, policy,
+
+        def decode_span(span_audio):
+            if cfg.strategy == "chunked":
+                return chunked_decode(
+                    params, span_audio, config, tok, policy,
+                    language=cfg.language, task=cfg.task,
+                    batch_size=cfg.batch_size, chunk_s=cfg.chunk_s,
+                    stride_s=cfg.stride_s, mel_fn=mel_fn,
+                    quantize_cross_kv=cfg.quantize_kv,
+                )
+            return sequential_decode(
+                params, span_audio, config, tok, policy,
                 language=cfg.language, task=cfg.task, mel_fn=mel_fn,
+                quantize_cross_kv=cfg.quantize_kv,
             )
+
+        if cfg.vad_regions:
+            # decode only detected speech, shifting timestamps back to the
+            # original timeline (the role of faster-whisper's VAD in stage 1)
+            from .vad import speech_regions
+
+            segs = []
+            for a, b_ in speech_regions(audio):
+                span = audio[int(a * 16000) : int(b_ * 16000)]
+                r = decode_span(span)
+                for s in r.segments:
+                    s.start += a
+                    s.end += a
+                segs.extend(r.segments)
+            res = LongformResult(segments=segs)
+        else:
+            res = decode_span(audio)
         write_label_csv(out_csv, res, tok)
         done += 1
         audio_seconds += len(audio) / 16000.0
