@@ -37,7 +37,10 @@ _RULES = [
     (("fc1", "kernel"), P(None, MODEL_AXIS)),
     (("fc1", "bias"), P(MODEL_AXIS)),
     (("fc2", "kernel"), P(MODEL_AXIS, None)),
-    (("embed_tokens",), P(MODEL_AXIS, None)),
+    # NB: embed_tokens stays replicated — Whisper's vocab (51865 = 5*11*23*41)
+    # is not divisible by any practical model-axis size, and the table is
+    # ~130 MB bf16 for large-v2 vs ~3 GB of (sharded) layer weights, so
+    # replication costs little HBM while avoiding padded-vocab logits.
 ]
 
 

@@ -114,7 +114,8 @@ def test_partition_specs_structure():
     specs = param_partition_specs(params)
     from jax.sharding import PartitionSpec as P
 
-    assert specs["decoder"]["embed_tokens"] == P("model", None)
+    # vocab table replicated (51865 has no practical divisors; see specs.py)
+    assert specs["decoder"]["embed_tokens"] == P()
     # stacked layer params get a leading None axis
     assert specs["encoder"]["layers"]["self_attn"]["q"]["kernel"] == P(None, None, "model")
     assert specs["encoder"]["layers"]["fc2"]["kernel"] == P(None, "model", None)
