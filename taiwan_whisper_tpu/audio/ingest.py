@@ -16,7 +16,7 @@ import dataclasses
 import os
 import shutil
 import subprocess
-from typing import Dict, Iterable, List, Optional, Sequence, Tuple
+from typing import Iterable, List, Optional, Sequence, Tuple
 
 import numpy as np
 

@@ -12,9 +12,8 @@ resampling quality only needs to match the reference's ffmpeg default).
 from __future__ import annotations
 
 import os
-import struct
 import wave
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

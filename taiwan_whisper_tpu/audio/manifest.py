@@ -18,7 +18,7 @@ from __future__ import annotations
 import dataclasses
 import os
 import random
-from typing import Iterator, List, Optional, Sequence, Tuple
+from typing import List, Optional, Tuple
 
 
 @dataclasses.dataclass

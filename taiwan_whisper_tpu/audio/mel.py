@@ -23,9 +23,6 @@ kernel used on TPU for the power->mel->log10 tail.
 from __future__ import annotations
 
 import functools
-from typing import Optional
-
-import jax
 import jax.numpy as jnp
 import numpy as np
 

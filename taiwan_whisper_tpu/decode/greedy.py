@@ -14,12 +14,10 @@ requires the (0.0 -> 1.0) temperature-fallback ladder
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..models import whisper as M
 from ..models.config import DtypePolicy, WhisperConfig

@@ -16,7 +16,7 @@ buffer, exploiting that Whisper timestamps are non-decreasing by induction.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

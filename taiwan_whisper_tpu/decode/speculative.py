@@ -16,11 +16,10 @@ doing ~(accepted+1) tokens per forward pass.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..models import whisper as M
 from ..models.config import DtypePolicy, WhisperConfig

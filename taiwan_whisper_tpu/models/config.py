@@ -9,7 +9,6 @@ TPU-first defaults (bf16 compute, scan over layers, remat).
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
 
 import jax.numpy as jnp
 

@@ -8,10 +8,9 @@ straight into our params pytree, torch-free when the weights are safetensors.
 
 from __future__ import annotations
 
-import dataclasses
 import json
 import os
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

@@ -23,12 +23,10 @@ as plain functions over a params pytree:
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..parallel.mesh import shard
 from .config import DtypePolicy, WhisperConfig

@@ -15,7 +15,6 @@ Falls back to the XLA einsum path off-TPU or for unaligned shapes
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp

@@ -12,7 +12,6 @@ decodes FLAC and tokenizes.
 from __future__ import annotations
 
 import dataclasses
-import itertools
 import os
 import signal
 import time
@@ -21,26 +20,16 @@ from typing import Dict, Iterator, Optional
 import numpy as np
 
 import jax
-import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from ..audio.manifest import Manifest, read_manifest
+from ..audio.manifest import read_manifest
 from ..audio.mel import log_mel
-from ..models.config import DtypePolicy, WhisperConfig
-from ..models.params import (
-    init_student_from_teacher,
-    mix_language_embeddings,
-    spaced_layer_indices,
-)
+from ..models.config import DtypePolicy
+from ..models.params import init_student_from_teacher, mix_language_embeddings
 from ..ops.mel_kernel import log_mel_pallas
 from ..parallel.mesh import make_mesh, use_mesh
 from ..parallel.specs import shard_params
-from ..train.distill import (
-    DistillConfig,
-    distill_loss,
-    make_eval_step,
-    make_train_step,
-)
+from ..train.distill import DistillConfig, make_eval_step, make_train_step
 from ..train.state import CheckpointManager, OptimConfig, make_optimizer
 from ..text.tokenizer import WhisperTokenizer
 from ..utils.logging import MetricsLogger

@@ -18,12 +18,12 @@ import csv
 import dataclasses
 import os
 import time
-from typing import List, Optional, Sequence
+from typing import Optional, Sequence
 
 import numpy as np
 
 from ..audio.io import load_audio_16k
-from ..audio.manifest import Manifest, read_manifest
+from ..audio.manifest import read_manifest
 from ..models.config import DtypePolicy, WhisperConfig
 from ..parallel.mesh import host_local_slice
 from ..text.tokenizer import WhisperTokenizer

@@ -17,7 +17,7 @@ from __future__ import annotations
 import csv
 import dataclasses
 import os
-from typing import Iterator, List, Optional, Sequence, Tuple
+from typing import List, Optional, Sequence
 
 import numpy as np
 

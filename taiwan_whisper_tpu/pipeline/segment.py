@@ -19,7 +19,7 @@ from __future__ import annotations
 import csv
 import dataclasses
 import os
-from typing import Iterable, List, Optional, Sequence, Tuple
+from typing import List, Sequence
 
 import numpy as np
 

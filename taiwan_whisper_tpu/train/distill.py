@@ -21,17 +21,14 @@ training/flax/run_distillation.py:1660-1818):
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
-from typing import Any, Dict, Optional, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..models import whisper as M
 from ..models.config import DtypePolicy, WhisperConfig
 from ..models.params import spaced_layer_indices
-from ..parallel.mesh import shard
 
 LABEL_IGNORE = -100
 

@@ -16,8 +16,6 @@ import re
 import shutil
 from typing import Any, Dict, List, Optional
 
-import jax
-import jax.numpy as jnp
 import optax
 
 

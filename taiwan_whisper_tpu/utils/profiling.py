@@ -16,7 +16,7 @@ from __future__ import annotations
 import contextlib
 import time
 from collections import deque
-from typing import Callable, Deque, Dict, Optional
+from typing import Callable, Deque, Optional
 
 import numpy as np
 
@@ -65,7 +65,6 @@ class StepTimer:
 def device_time(fn: Callable, *args, iters: int = 5, warmup: int = 1) -> float:
     """Average seconds per call of a jitted fn, syncing via host transfer."""
     import jax
-    import jax.numpy as jnp
 
     def sync(out):
         leaf = jax.tree.leaves(out)[0]

@@ -164,6 +164,42 @@ def test_sharded_train_step_matches_single_device():
             )
 
 
+def test_grad_accumulation():
+    """accum=2 over two half-batches ~ accum=1 over the full batch (MultiSteps
+    averages grads; Adam sees one combined update)."""
+    cfg = _cfg(dec_layers=1)
+    teacher = init_params(_cfg(dec_layers=2), seed=0)
+    teacher_cfg = _cfg(dec_layers=2)
+    student = init_student_from_teacher(teacher, teacher_cfg, 1)
+    dcfg = DistillConfig()
+    full = _batch(b=4)
+    halves = [
+        {k: v[:2] for k, v in full.items()},
+        {k: v[2:] for k, v in full.items()},
+    ]
+
+    opt1 = make_optimizer(OptimConfig(learning_rate=1e-3, warmup_steps=0))
+    step1 = jax.jit(make_train_step(cfg, teacher_cfg, dcfg, opt1, FP32))
+    p1, _, _ = step1(student, opt1.init(student), teacher, full)
+
+    opt2 = make_optimizer(
+        OptimConfig(learning_rate=1e-3, warmup_steps=0, grad_accum_steps=2)
+    )
+    step2 = jax.jit(make_train_step(cfg, teacher_cfg, dcfg, opt2, FP32))
+    p2, os2 = student, opt2.init(student)
+    for h in halves:
+        p2, os2, _ = step2(p2, os2, teacher, h)
+
+    a = np.asarray(p1["decoder"]["layers"]["fc1"]["kernel"])
+    b = np.asarray(p2["decoder"]["layers"]["fc1"]["kernel"])
+    s = np.asarray(student["decoder"]["layers"]["fc1"]["kernel"])
+    # both must have moved, in the same direction and similar magnitude
+    assert not np.allclose(a, s) and not np.allclose(b, s)
+    da, db = a - s, b - s
+    cos = float((da * db).sum() / (np.linalg.norm(da) * np.linalg.norm(db)))
+    assert cos > 0.9, cos
+
+
 def test_checkpoint_manager(tmp_path):
     cm = CheckpointManager(str(tmp_path), save_total_limit=2)
     state = {"params": {"w": jnp.ones((3,))}, "step": jnp.int32(1)}
