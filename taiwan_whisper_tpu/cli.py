@@ -112,6 +112,7 @@ def cmd_distill(args):
             max_steps=args.max_steps, batch_size=args.batch_size,
             model_parallel=args.model_parallel, save_steps=args.save_steps,
             eval_steps=args.eval_steps, use_wandb=args.wandb,
+            gen_eval_batches=args.gen_eval_batches,
         ),
         dcfg=DistillConfig(
             ce_weight=args.ce_weight, kl_weight=args.kl_weight,
@@ -284,6 +285,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--condition_on_prev_probability", type=float, default=0.2)
     p.add_argument("--wandb", action="store_true")
     p.add_argument("--eval_manifest", default=None)
+    p.add_argument("--gen_eval_batches", type=int, default=0,
+                   help="also greedy-decode N eval batches and log MER")
     _add_common(p)
     p.set_defaults(fn=cmd_distill)
 

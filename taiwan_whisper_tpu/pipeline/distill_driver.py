@@ -50,6 +50,8 @@ class DistillRunConfig:
     mix_lang_embeddings: bool = True  # zh <- (zh+en)/2, the K2D trick
     resume: bool = True
     use_wandb: bool = False
+    gen_eval_batches: int = 0  # >0: also greedy-decode N eval batches -> MER
+    gen_eval_max_tokens: int = 128
 
 
 def run_distillation(
@@ -175,6 +177,58 @@ def run_distillation(
         jit_eval = jax.jit(eval_with_mel)
         best_eval_loss = float("inf")
 
+        # generation-based eval: greedy-decode eval batches and score MER vs
+        # the label texts (reference logs eval WER + prediction tables,
+        # run_distillation.py:1709-1808)
+        gen_eval_fn = None
+        if run_cfg.gen_eval_batches > 0 and eval_batches:
+            import jax.numpy as jnp
+
+            from ..decode.greedy import greedy_decode
+            from ..decode.rules import DecodeRules
+            from ..models import whisper as W
+            from ..text.metrics import MixErrorRate
+            from ..text.normalizer import BasicTextNormalizer
+
+            rules = DecodeRules.from_special(tok.special, timestamps=True)
+            sot_seq = tok.sot_sequence(prep_cfg.language, prep_cfg.task)
+            gen_max_len = min(
+                len(sot_seq) + run_cfg.gen_eval_max_tokens,
+                student_cfg.max_target_positions,
+            )
+
+            @jax.jit
+            def decode_eval(student_params, audio):
+                mel = (log_mel_pallas(audio, student_cfg.num_mel_bins)
+                       if use_pallas_mel
+                       else log_mel(audio, student_cfg.num_mel_bins))
+                enc = W.encode(student_params, mel, student_cfg, policy)
+                prefix = jnp.asarray([sot_seq] * audio.shape[0], jnp.int32)
+                return greedy_decode(
+                    student_params, enc, prefix, student_cfg, rules, policy,
+                    max_len=gen_max_len,
+                )
+
+            metric = MixErrorRate()
+            norm = BasicTextNormalizer()
+
+            def gen_eval_fn(step):
+                preds, refs = [], []
+                for eb in eval_batches[: run_cfg.gen_eval_batches]:
+                    res = decode_eval(student_s, jnp.asarray(eb["audio"]))
+                    toks = np.asarray(res.tokens)
+                    lens = np.asarray(res.lengths)
+                    for j in range(toks.shape[0]):
+                        ids = toks[j][len(sot_seq): len(sot_seq) + int(lens[j])]
+                        preds.append(norm(tok.decode(ids.tolist(),
+                                                     skip_special_tokens=True)))
+                        ref_ids = [int(t) for t in eb["labels"][j]
+                                   if t >= 0 and t < tok.special.eot]
+                        refs.append(norm(tok.decode(ref_ids,
+                                                    skip_special_tokens=True)))
+                mer = metric.compute(preds, refs)
+                logger.log({"gen_mer": float(mer)}, step, prefix="eval")
+
         def run_eval(step):
             nonlocal best_eval_loss
             if not eval_batches:
@@ -188,6 +242,8 @@ def run_distillation(
                     totals[k] = totals.get(k, 0.0) + float(v)
             avg = {k: v / len(eval_batches) for k, v in totals.items()}
             logger.log(avg, step, prefix="eval")
+            if gen_eval_fn is not None:
+                gen_eval_fn(step)
             if avg["loss"] < best_eval_loss:
                 best_eval_loss = avg["loss"]
                 ckpt.save(step, {"params": student_s, "opt_state": opt_state},
