@@ -167,6 +167,9 @@ def cmd_evaluate(args):
     params, config = load_model(args.model)
     tok = (WhisperTokenizer.from_pretrained_dir(args.tokenizer_dir)
            if args.tokenizer_dir else WhisperTokenizer())
+    assistant = None
+    if args.assistant:
+        assistant = load_model(args.assistant)
     res = evaluate_manifest(
         params, config, tok, args.manifest,
         EvalConfig(
@@ -174,6 +177,7 @@ def cmd_evaluate(args):
             batch_size=args.batch_size, num_beams=args.num_beams,
         ),
         output_dir=args.output_dir,
+        assistant=assistant,
     )
     print(json.dumps({
         "mer": res.mer, "en_wer": res.en_wer, "zh_cer": res.zh_cer,
@@ -312,7 +316,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--model", required=True)
     p.add_argument("--output_dir", default=None)
     p.add_argument("--language", default="zh")
-    p.add_argument("--mode", default="short", choices=["short", "sequential", "chunked"])
+    p.add_argument("--mode", default="short",
+                   choices=["short", "sequential", "chunked", "speculative"])
+    p.add_argument("--assistant", default=None,
+                   help="assistant (draft) model dir for --mode speculative")
     p.add_argument("--batch_size", type=int, default=16)
     p.add_argument("--num_beams", type=int, default=1)
     _add_common(p)

@@ -132,6 +132,16 @@ def _mlp_block(p_fc1: Params, p_fc2: Params, x: jnp.ndarray, dtype):
     return _dense(p_fc2, h, dtype)
 
 
+def _lm_head(embed_tokens: jnp.ndarray, x: jnp.ndarray, dtype) -> jnp.ndarray:
+    """Tied output head: operands in compute dtype (halves the 100+ MB/step
+    weight read under bf16), accumulation and logits in fp32."""
+    return jnp.dot(
+        x.astype(dtype),
+        embed_tokens.astype(dtype).T,
+        preferred_element_type=jnp.float32,
+    )
+
+
 # ---------------------------------------------------------------------------
 # encoder
 # ---------------------------------------------------------------------------
@@ -248,12 +258,7 @@ def decode_train(
 
     x, hiddens = jax.lax.scan(jax.checkpoint(layer), x, p["layers"])
     x = _layer_norm(p["ln_post"], x)
-    # tied output head: logits in fp32 for loss / sampling stability
-    logits = jnp.dot(
-        x.astype(jnp.float32),
-        params["decoder"]["embed_tokens"].astype(jnp.float32).T,
-        preferred_element_type=jnp.float32,
-    )
+    logits = _lm_head(params["decoder"]["embed_tokens"], x, dtype)
     logits = shard(logits, "batch", "length", "vocab")
     if output_hidden_states:
         return logits, hiddens
@@ -464,11 +469,7 @@ def decode_step(
         layer, x, (p["layers"], cache.k, cache.v) + cross_xs
     )
     x = _layer_norm(p["ln_post"], x)
-    logits = jnp.dot(
-        x[:, 0].astype(jnp.float32),
-        p["embed_tokens"].astype(jnp.float32).T,
-        preferred_element_type=jnp.float32,
-    )
+    logits = _lm_head(p["embed_tokens"], x[:, 0], dtype)
     return logits, KVCache(k=new_k, v=new_v)
 
 
@@ -540,11 +541,7 @@ def extend(
         layer, x, (p["layers"], cache.k, cache.v) + cross_xs
     )
     x = _layer_norm(p["ln_post"], x)
-    logits = jnp.dot(
-        x.astype(jnp.float32),
-        p["embed_tokens"].astype(jnp.float32).T,
-        preferred_element_type=jnp.float32,
-    )
+    logits = _lm_head(p["embed_tokens"], x, dtype)
     return logits, KVCache(k=new_k, v=new_v)
 
 
@@ -611,7 +608,6 @@ def prefill(
         layer, x, (p["layers"], cache.k, cache.v) + cross_xs
     )
     x = _layer_norm(p["ln_post"], x)
-    head = p["embed_tokens"].astype(jnp.float32).T
-    picked = jnp.stack([x[:, -1], x[:, aux_index]], axis=1).astype(jnp.float32)
-    both = jnp.dot(picked, head, preferred_element_type=jnp.float32)
+    picked = jnp.stack([x[:, -1], x[:, aux_index]], axis=1)
+    both = _lm_head(p["embed_tokens"], picked, dtype)
     return both[:, 0], KVCache(k=new_k, v=new_v), both[:, 1]

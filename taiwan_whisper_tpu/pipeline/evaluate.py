@@ -41,11 +41,12 @@ from ..text.tokenizer import WhisperTokenizer, strip_markers
 class EvalConfig:
     language: str = "zh"
     task: str = "transcribe"
-    mode: str = "short"  # short | sequential | chunked
+    mode: str = "short"  # short | sequential | chunked | speculative
     batch_size: int = 16
     num_beams: int = 1
     max_decode_len: int = 448
     separate_language: bool = True
+    num_draft_tokens: int = 5  # speculative mode
 
 
 @dataclasses.dataclass
@@ -85,6 +86,7 @@ def evaluate_manifest(
     cfg: EvalConfig = EvalConfig(),
     policy: DtypePolicy = DtypePolicy(),
     output_dir: Optional[str] = None,
+    assistant: Optional[tuple] = None,  # (params, config) for speculative mode
 ) -> EvalResult:
     manifest = read_manifest(manifest_path)
     audio_paths = manifest.absolute_paths()
@@ -103,7 +105,36 @@ def evaluate_manifest(
     audio_seconds = 0.0
     t0 = time.time()
 
-    if cfg.mode == "short":
+    if cfg.mode == "speculative":
+        # assistant-model decoding per utterance (reference
+        # run_eval.py:524-545 uses batch 1 with an assistant model)
+        assert assistant is not None, "speculative mode needs assistant=(params, config)"
+        from ..decode.speculative import speculative_decode
+
+        a_params, a_config = assistant
+        n_window = config.max_source_positions * 2 * 160
+        sot_seq = tok.sot_sequence(cfg.language, cfg.task, timestamps=True)
+
+        @jax.jit
+        def spec_one(audio):
+            mel = log_mel(audio[None], config.num_mel_bins)
+            t_enc = M.encode(params, mel, config, policy)
+            a_mel = log_mel(audio[None], a_config.num_mel_bins)
+            s_enc = M.encode(a_params, a_mel, a_config, policy)
+            prefix = jnp.asarray([sot_seq], jnp.int32)
+            return speculative_decode(
+                params, config, a_params, a_config, t_enc, s_enc, prefix,
+                rules, policy, num_draft_tokens=cfg.num_draft_tokens,
+                max_len=cfg.max_decode_len,
+            )
+
+        for p in audio_paths:
+            raw = load_audio_16k(p)
+            audio_seconds += min(len(raw), n_window) / 16000.0
+            res = spec_one(jnp.asarray(pad_or_trim(raw, n_window)))
+            ids = np.asarray(res.tokens)[0][len(sot_seq): len(sot_seq) + int(res.length)]
+            predictions.append(tok.decode(ids.tolist(), skip_special_tokens=True))
+    elif cfg.mode == "short":
         n_window = config.max_source_positions * 2 * 160
         bs = cfg.batch_size
         for i in range(0, len(audio_paths), bs):
