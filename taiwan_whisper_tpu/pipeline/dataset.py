@@ -118,12 +118,22 @@ class TrainPrepConfig:
     task: str = "transcribe"
     timestamp_probability: float = 0.2  # reference default 0.2 (sweeps 0.2-0.5)
     condition_on_prev_probability: float = 0.2
+    round_timestamps: bool = False  # round ts tokens to 0.1 s (flax reference
+    # round_timestamp_tokens, run_distillation.py:1377-1386)
     max_label_length: int = 448
     chunk_samples: int = N_SAMPLES  # audio pad/trim length (30 s default)
 
     @property
     def prompt_cutoff_length(self) -> int:
         return self.max_label_length // 2
+
+
+def round_timestamp_tokens(text: str, ndigits: int = 1) -> str:
+    """'<|6.24|>' -> '<|6.20|>' (flax reference round_timestamp_tokens)."""
+    def repl(m):
+        return "<|{:.2f}|>".format(round(float(m.group(1)), ndigits))
+
+    return re.sub(r"<\|(\d{1,2}\.\d{2})\|>", repl, text)
 
 
 def build_label_ids(
@@ -137,8 +147,11 @@ def build_label_ids(
     special = tok.special
     ts_begin = special.timestamp_begin
 
+    transcript = feature.transcript
+    if cfg.round_timestamps:
+        transcript = round_timestamp_tokens(transcript)
     token_ids = encode_transcript(
-        tok, feature.transcript, language=cfg.language, task=cfg.task,
+        tok, transcript, language=cfg.language, task=cfg.task,
         predict_timestamps=True,
     )
     has_timestamps = any(t >= ts_begin for t in token_ids)

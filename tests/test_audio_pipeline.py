@@ -232,3 +232,11 @@ def test_chunked_decode_runs():
     assert isinstance(res.segments, list)
     for s in res.segments:
         assert 0.0 <= s.start <= 51.0
+
+
+def test_round_timestamp_tokens():
+    from taiwan_whisper_tpu.pipeline.dataset import round_timestamp_tokens
+
+    assert round_timestamp_tokens("<|6.24|>hi<|29.96|>") == "<|6.20|>hi<|30.00|>"
+    assert round_timestamp_tokens("<|0.00|>") == "<|0.00|>"
+    assert round_timestamp_tokens("plain text") == "plain text"
