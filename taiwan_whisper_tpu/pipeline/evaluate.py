@@ -135,11 +135,14 @@ def evaluate_manifest(
             ids = np.asarray(res.tokens)[0][len(sot_seq): len(sot_seq) + int(res.length)]
             predictions.append(tok.decode(ids.tolist(), skip_special_tokens=True))
     elif cfg.mode == "short":
+        import concurrent.futures as cf
+
         n_window = config.max_source_positions * 2 * 160
         bs = cfg.batch_size
+        pool = cf.ThreadPoolExecutor(max_workers=4)
         for i in range(0, len(audio_paths), bs):
             paths = audio_paths[i : i + bs]
-            raw = [load_audio_16k(p) for p in paths]
+            raw = list(pool.map(load_audio_16k, paths))
             audio_seconds += sum(min(len(a), n_window) for a in raw) / 16000.0
             arrs = [pad_or_trim(a, n_window) for a in raw]
             while len(arrs) < bs:

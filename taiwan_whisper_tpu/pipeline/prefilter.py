@@ -75,12 +75,16 @@ def validator_transcribe(
     results: List[Tuple[int, str]] = []
     bs = cfg.batch_size
     prefix = jnp.asarray([sot_seq] * bs, jnp.int32)
+    import concurrent.futures as cf
+
+    pool = cf.ThreadPoolExecutor(max_workers=4)
+
+    def _load(gi):
+        return pad_or_trim(load_audio_16k(audio_paths[gi]), n_window)
+
     for i in range(0, len(indices), bs):
         chunk_ids = indices[i : i + bs]
-        arrs = []
-        for gi in chunk_ids:
-            audio = pad_or_trim(load_audio_16k(audio_paths[gi]), n_window)
-            arrs.append(audio)
+        arrs = list(pool.map(_load, chunk_ids))
         while len(arrs) < bs:  # pad batch for compile stability
             arrs.append(np.zeros_like(arrs[0]))
         res = decode_batch(jnp.asarray(np.stack(arrs)), prefix)
