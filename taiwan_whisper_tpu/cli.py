@@ -131,6 +131,7 @@ def cmd_distill(args):
         eval_manifest_path=args.eval_manifest,
     )
     print(json.dumps(metrics))
+    return metrics
 
 
 def cmd_finetune(args):
@@ -156,6 +157,7 @@ def cmd_finetune(args):
         eval_manifest_path=args.eval_manifest,
     )
     print(json.dumps(metrics))
+    return metrics
 
 
 def cmd_evaluate(args):
@@ -179,12 +181,14 @@ def cmd_evaluate(args):
         output_dir=args.output_dir,
         assistant=assistant,
     )
-    print(json.dumps({
+    metrics = {
         "mer": res.mer, "en_wer": res.en_wer, "zh_cer": res.zh_cer,
         "rtf": res.rtf,
         "audio_seconds_per_second": res.audio_seconds_per_second,
         "n_samples": res.n_samples,
-    }))
+    }
+    print(json.dumps(metrics))
+    return metrics
 
 
 def cmd_init_student(args):
@@ -203,6 +207,17 @@ def cmd_init_student(args):
     )
     save_hf_checkpoint(args.out, student, tcfg.with_decoder_layers(args.decoder_layers))
     print(f"[init-student] wrote {args.out}")
+
+
+def cmd_sweep(args):
+    from .pipeline.sweep import run_sweep
+
+    summary = run_sweep(
+        args.config, args.target, args.output_dir,
+        extra_argv=args.extra, max_runs=args.max_runs, seed=args.seed,
+    )
+    print(json.dumps(summary))
+    return summary
 
 
 def cmd_make_manifest(args):
@@ -333,6 +348,19 @@ def build_parser() -> argparse.ArgumentParser:
                    help="comma-separated explicit teacher layer indices")
     p.add_argument("--mix_lang_emb", action="store_true")
     p.set_defaults(fn=cmd_init_student)
+
+    p = sub.add_parser("sweep", help="local HP sweep over a wandb-style YAML")
+    p.add_argument("--config", required=True, help="sweep YAML path")
+    p.add_argument("--target", required=True,
+                   choices=["distill", "finetune", "evaluate"],
+                   help="subcommand every run invokes")
+    p.add_argument("--output_dir", required=True)
+    p.add_argument("--max_runs", type=int, default=0,
+                   help="cap grid size / number of random samples")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--extra", nargs=argparse.REMAINDER, default=[],
+                   help="extra argv appended to every run")
+    p.set_defaults(fn=cmd_sweep)
 
     p = sub.add_parser("make-manifest", help="build fairseq-style TSVs")
     p.add_argument("--root", required=True)

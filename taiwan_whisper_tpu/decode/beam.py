@@ -81,7 +81,7 @@ def beam_decode(
     max_len: Optional[int] = None,
     length_penalty: float = 1.0,
     sot_index: int = 0,
-    quantize_cross_kv: bool = False,
+    quantize_cross_kv: int = 0,  # 0/False off; True/8 int8; 4 int4 cross-KV
 ) -> BeamResult:
     b, p_len = prefix.shape
     k = num_beams
@@ -96,7 +96,9 @@ def beam_decode(
     enc_rep = jnp.repeat(enc_out, k, axis=0)  # [B*K, T, d]
     cross_kv = M.precompute_cross_kv(params, enc_rep, config, policy)
     if quantize_cross_kv:
-        cross_kv = M.quantize_cross_kv(cross_kv)
+        cross_kv = M.quantize_cross_kv(
+            cross_kv, bits=4 if quantize_cross_kv == 4 else 8
+        )
     cache = M.init_cache(config, b * k, max_len, dtype=policy.compute_dtype)
     prefix_rep = jnp.repeat(prefix, k, axis=0)
     logits0, cache, _ = M.prefill(

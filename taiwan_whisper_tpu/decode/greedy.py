@@ -55,7 +55,7 @@ def greedy_decode(
     rng: Optional[jax.Array] = None,
     sot_index: int = 0,  # position of <|startoftranscript|> in prefix
     valid_from: Optional[jnp.ndarray] = None,  # [B] for left-padded prompts
-    quantize_cross_kv: bool = False,  # int8 cross-KV (halves decode HBM traffic)
+    quantize_cross_kv: int = 0,  # 0/False off; True/8 int8; 4 int4 cross-KV
 ) -> DecodeResult:
     """Greedy (temperature==0) or sampled decode of a batch of utterances."""
     b, p_len = prefix.shape
@@ -69,7 +69,9 @@ def greedy_decode(
 
     cross_kv = M.precompute_cross_kv(params, enc_out, config, policy)
     if quantize_cross_kv:
-        cross_kv = M.quantize_cross_kv(cross_kv)
+        cross_kv = M.quantize_cross_kv(
+            cross_kv, bits=4 if quantize_cross_kv == 4 else 8
+        )
     cache = M.init_cache(config, b, max_len, dtype=policy.compute_dtype)
     logits0, cache, sot_logits = M.prefill(
         params, cross_kv, cache, prefix, config, policy,

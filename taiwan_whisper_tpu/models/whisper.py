@@ -358,15 +358,26 @@ jax.tree_util.register_dataclass(
 )
 
 
-def quantize_cross_kv(cross_kv) -> QuantCrossKV:
-    """Symmetric per-channel int8 quantization over the time axis."""
+def quantize_cross_kv(cross_kv, bits: int = 8) -> QuantCrossKV:
+    """Symmetric per-channel int8/int4 quantization over the time axis.
+
+    int8 halves the dominant HBM stream of the decode loop (PERF.md);
+    int4 (native jnp.int4 packed storage) quarters it at some accuracy
+    cost — validate WER before enabling on a production labelling run.
+    """
     k, v = cross_kv
+    if bits == 8:
+        qmax, store = 127.0, jnp.int8
+    elif bits == 4:
+        qmax, store = 7.0, jnp.int4
+    else:
+        raise ValueError(f"bits must be 8 or 4, got {bits}")
 
     def q(x):
         m = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=2, keepdims=True)
-        scale = m / 127.0 + 1e-12
-        xq = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127)
-        return xq.astype(jnp.int8), scale.astype(jnp.float32)
+        scale = m / qmax + 1e-12
+        xq = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -qmax, qmax)
+        return xq.astype(store), scale.astype(jnp.float32)
 
     kq, ks = q(k)
     vq, vs = q(v)
@@ -398,32 +409,44 @@ def _cached_self_attn(lp, h, cache_k, cache_v, index, n_heads, dtype,
 
     h: [B, 1, d]; cache_k/v: [B, H, Dh, S]; index: scalar int32 position.
     ``valid_from`` ([B] int32, optional) masks cache positions below it —
-    used after a left-padded prefill. Returns (attn_out [B,1,d], new caches).
+    used after a left-padded prefill.
+
+    The current token's K/V are NOT written into the cache here: they are
+    attended to directly (the cache position at ``index`` stays masked) and
+    returned as [B,H,Dh,1] slices so the caller can commit all layers with a
+    single dynamic-update-slice. This keeps the cache a read-only operand of
+    the layer scan — XLA updates the while-loop-carried buffer in place
+    instead of rewriting the full [L,B,H,Dh,S] tensor every step.
+    Returns (attn_out [B,1,d], k_t, v_t).
     """
     b = h.shape[0]
     s = cache_k.shape[-1]
     q = _split_heads(_dense(lp["q"], h, dtype), n_heads)  # [B,1,H,Dh]
     k = _split_heads(_dense(lp["k"], h, dtype), n_heads)
     v = _split_heads(_dense(lp["v"], h, dtype), n_heads)
-    # one-hot multiply-accumulate cache update (TPU-friendly: no scatter)
-    oh = jax.nn.one_hot(index, s, dtype=dtype)  # [S]
-    k_t = jnp.transpose(k, (0, 2, 3, 1))  # [B,H,Dh,1]
-    v_t = jnp.transpose(v, (0, 2, 3, 1))
-    cache_k = cache_k * (1.0 - oh) + k_t * oh
-    cache_v = cache_v * (1.0 - oh) + v_t * oh
-    # scores over full cache, masked to <= index
+    k_t = jnp.transpose(k, (0, 2, 3, 1)).astype(cache_k.dtype)  # [B,H,Dh,1]
+    v_t = jnp.transpose(v, (0, 2, 3, 1)).astype(cache_v.dtype)
     dh = q.shape[-1]
     qh = jnp.squeeze(q, axis=1) * (dh ** -0.5)  # [B,H,Dh]
+    # scores over past cache (pos < index), current token scored directly
     logits = jnp.einsum("bhd,bhds->bhs", qh, cache_k, preferred_element_type=jnp.float32)
     pos = jnp.arange(s)
-    keep = pos[None, None] <= index
+    keep = pos[None, None] < index
     if valid_from is not None:
         keep = jnp.logical_and(keep, pos[None, None] >= valid_from[:, None, None])
     logits = jnp.where(keep, logits, jnp.finfo(jnp.float32).min)
+    cur = jnp.einsum(
+        "bhd,bhd->bh", qh, k_t[..., 0].astype(qh.dtype),
+        preferred_element_type=jnp.float32,
+    )
+    logits = jnp.concatenate([logits, cur[..., None]], axis=-1)
     probs = jax.nn.softmax(logits, axis=-1).astype(dtype)
-    out = jnp.einsum("bhs,bhds->bhd", probs, cache_v, preferred_element_type=dtype)
+    out = jnp.einsum(
+        "bhs,bhds->bhd", probs[..., :s], cache_v, preferred_element_type=dtype
+    )
+    out = out + probs[..., s:] * v_t[..., 0].astype(dtype)
     out = out.reshape(b, 1, -1)
-    return _dense(lp["out"], out, dtype), cache_k, cache_v
+    return _dense(lp["out"], out, dtype), k_t, v_t
 
 
 def decode_step(
@@ -453,7 +476,7 @@ def decode_step(
         lp, ck, cv = xs[:3]
         cross_slice = xs[3:]
         h = _layer_norm(lp["self_attn_ln"], x)
-        att, ck, cv = _cached_self_attn(
+        att, k_t, v_t = _cached_self_attn(
             lp["self_attn"], h, ck, cv, index, n_heads, dtype, valid_from
         )
         x = x + att
@@ -463,11 +486,15 @@ def decode_step(
         x = x + _dense(lp["cross_attn"]["out"], _merge_heads(att), dtype)
         h = _layer_norm(lp["final_ln"], x)
         x = x + _mlp_block(lp["fc1"], lp["fc2"], h, dtype)
-        return x, (ck, cv)
+        return x, (k_t, v_t)
 
-    x, (new_k, new_v) = jax.lax.scan(
+    x, (k_new, v_new) = jax.lax.scan(
         layer, x, (p["layers"], cache.k, cache.v) + cross_xs
     )
+    # single small in-place write of this step's K/V across all layers —
+    # [L,B,H,Dh,1] into the while-loop-carried [L,B,H,Dh,S] cache
+    new_k = jax.lax.dynamic_update_slice(cache.k, k_new, (0, 0, 0, 0, index))
+    new_v = jax.lax.dynamic_update_slice(cache.v, v_new, (0, 0, 0, 0, index))
     x = _layer_norm(p["ln_post"], x)
     logits = _lm_head(p["embed_tokens"], x[:, 0], dtype)
     return logits, KVCache(k=new_k, v=new_v)

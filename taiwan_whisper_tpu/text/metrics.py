@@ -151,6 +151,7 @@ class MixErrorRate:
         count_repetitive_hallucination: bool = False,
         calculate_complete_mer: bool = False,
         lexicon_path: Optional[str] = None,
+        zh_lexicon_path: Optional[str] = None,
     ):
         if to_simplified_chinese and to_traditional_chinese:
             raise ValueError("cannot convert to both simplified and traditional")
@@ -168,19 +169,44 @@ class MixErrorRate:
         self._zh_phonemizer = None
         self._en_lexicon: Dict[str, List[str]] = {}
         if phonemize:
-            self._init_phonemizers(lexicon_path)
+            self._init_phonemizers(lexicon_path, zh_lexicon_path)
 
-    def _init_phonemizers(self, lexicon_path: Optional[str]):
-        try:
-            from pypinyin import Style, lazy_pinyin
-            from functools import partial
+    def _init_phonemizers(
+        self, lexicon_path: Optional[str], zh_lexicon_path: Optional[str]
+    ):
+        # zh: prefer a user-supplied char->reading table (TSV: char \t
+        # space-separated symbols), mirroring how the reference's EN side
+        # already takes a CMU-style lexicon file (utils/evaluation.py:119-135,
+        # utils/lexicon.lst); fall back to pypinyin bopomofo when installed.
+        if zh_lexicon_path:
+            table: Dict[str, List[str]] = {}
+            with open(zh_lexicon_path, encoding="utf-8") as f:
+                for line in f:
+                    parts = line.rstrip("\n").split("\t")
+                    if len(parts) == 2:
+                        table[parts[0]] = parts[1].split()
 
-            self._zh_phonemizer = partial(lazy_pinyin, style=Style.BOPOMOFO, errors="ignore")
-        except Exception as e:  # pragma: no cover - pypinyin absent here
-            raise RuntimeError(
-                "phonemize=True requires pypinyin (not available in this "
-                "environment); use MER/CER modes instead"
-            ) from e
+            def table_phonemize(text: str) -> List[str]:
+                out: List[str] = []
+                for ch in text:
+                    out.extend(table.get(ch, []))
+                return out
+
+            self._zh_phonemizer = table_phonemize
+        else:
+            try:
+                from pypinyin import Style, lazy_pinyin
+                from functools import partial
+
+                self._zh_phonemizer = partial(
+                    lazy_pinyin, style=Style.BOPOMOFO, errors="ignore"
+                )
+            except Exception as e:  # pragma: no cover - pypinyin absent here
+                raise RuntimeError(
+                    "phonemize=True requires pypinyin or an explicit "
+                    "zh_lexicon_path (char\\treading TSV); use MER/CER modes "
+                    "otherwise"
+                ) from e
         if lexicon_path:
             with open(lexicon_path, encoding="utf-8") as f:
                 for line in f:

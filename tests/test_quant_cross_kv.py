@@ -44,6 +44,32 @@ def test_quantized_step_logits_close():
     assert (a.argmax(-1) == b.argmax(-1)).all()
 
 
+def test_int4_quantized_step_logits_close():
+    cfg, params, enc = _setup()
+    cross = M.precompute_cross_kv(params, enc, cfg, FP32)
+    crossq = M.quantize_cross_kv(cross, bits=4)
+    assert crossq.k_q.dtype == jnp.int4
+    cache_a = M.init_cache(cfg, 2, 16, jnp.float32)
+    cache_b = M.init_cache(cfg, 2, 16, jnp.float32)
+    tok = jnp.full((2,), MULTILINGUAL.sot, jnp.int32)
+    la, _ = M.decode_step(params, cross, cache_a, tok, jnp.int32(0), cfg, FP32)
+    lb, _ = M.decode_step(params, crossq, cache_b, tok, jnp.int32(0), cfg, FP32)
+    a, b = np.asarray(la), np.asarray(lb)
+    denom = np.abs(a).max()
+    # int4 is lossier than int8; on a random model require coarse agreement
+    assert np.abs(a - b).max() / denom < 0.25, np.abs(a - b).max() / denom
+
+
+def test_int4_greedy_decode_runs():
+    cfg, params, enc = _setup()
+    tok = WhisperTokenizer(MULTILINGUAL)
+    rules = DecodeRules.from_special(MULTILINGUAL)
+    prefix = jnp.asarray([tok.sot_sequence("zh")] * 2, jnp.int32)
+    out = greedy_decode(params, enc, prefix, cfg, rules, FP32, max_len=32,
+                        quantize_cross_kv=4)
+    assert out.tokens.shape == (2, 32)
+
+
 def test_quantized_greedy_decode_runs():
     cfg, params, enc = _setup()
     tok = WhisperTokenizer(MULTILINGUAL)

@@ -219,3 +219,38 @@ def test_sot_sequence_and_prompt():
 def test_strip_markers():
     assert strip_markers("<|0.00|>hi<|1.00|> there<|endoftext|>") == "hi there"
     assert strip_markers("no markers") == "no markers"
+
+
+# -- phonemized PER via user lexicons (no pypinyin needed) --------------------
+
+
+def test_phonemize_with_zh_lexicon(tmp_path):
+    zh_lex = tmp_path / "zh.tsv"
+    # char -> bopomofo reading (tone marks are stripped by the metric)
+    zh_lex.write_text("你\tㄋㄧˇ\n好\tㄏㄠˇ\n", encoding="utf-8")
+    en_lex = tmp_path / "en.tsv"
+    en_lex.write_text("hello\tHH AH L OW\nworld\tW ER L D\n", encoding="utf-8")
+    per = MixErrorRate(
+        phonemize=True,
+        lexicon_path=str(en_lex),
+        zh_lexicon_path=str(zh_lex),
+    )
+    # identical readings -> PER 0 even with different surface forms is not
+    # the case here; exact match first:
+    assert per.compute(["你好 hello"], ["你好 hello"]) == 0.0
+    # 好/你 swap changes phoneme order -> nonzero
+    assert per.compute(["好你 hello"], ["你好 hello"]) > 0.0
+    # a homophone-level match: unknown chars phonemize to nothing, so a
+    # missing-char prediction only costs that char's phonemes
+    r = per.compute(["你 hello"], ["你好 hello"])
+    assert 0.0 < r < 1.0
+
+
+def test_phonemize_requires_some_zh_source(tmp_path):
+    try:
+        import pypinyin  # noqa: F401
+        pytest.skip("pypinyin installed; gate not reachable")
+    except ImportError:
+        pass
+    with pytest.raises(RuntimeError, match="zh_lexicon_path"):
+        MixErrorRate(phonemize=True)
