@@ -163,12 +163,13 @@ def cmd_finetune(args):
 def cmd_evaluate(args):
     from .models.io import load_model
     from .pipeline.evaluate import EvalConfig, evaluate_manifest
-    from .text.tokenizer import WhisperTokenizer
+    from .text.tokenizer import WhisperTokenizer, special_for_vocab
 
     _maybe_init_distributed(args)
     params, config = load_model(args.model)
-    tok = (WhisperTokenizer.from_pretrained_dir(args.tokenizer_dir)
-           if args.tokenizer_dir else WhisperTokenizer())
+    special = special_for_vocab(config.vocab_size)
+    tok = (WhisperTokenizer.from_pretrained_dir(args.tokenizer_dir, special=special)
+           if args.tokenizer_dir else WhisperTokenizer(special))
     assistant = None
     if args.assistant:
         assistant = load_model(args.assistant)
@@ -330,7 +331,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--manifest", required=True)
     p.add_argument("--model", required=True)
     p.add_argument("--output_dir", default=None)
-    p.add_argument("--language", default="zh")
+    p.add_argument("--language", default="zh",
+                   help="forced language; 'none' for *.en models")
     p.add_argument("--mode", default="short",
                    choices=["short", "sequential", "chunked", "speculative"])
     p.add_argument("--assistant", default=None,

@@ -56,6 +56,7 @@ def greedy_decode(
     sot_index: int = 0,  # position of <|startoftranscript|> in prefix
     valid_from: Optional[jnp.ndarray] = None,  # [B] for left-padded prompts
     quantize_cross_kv: int = 0,  # 0/False off; True/8 int8; 4 int4 cross-KV
+    scan_unroll: int = 1,  # decoder layer-scan unroll (perf knob)
 ) -> DecodeResult:
     """Greedy (temperature==0) or sampled decode of a batch of utterances."""
     b, p_len = prefix.shape
@@ -142,7 +143,7 @@ def greedy_decode(
         finished = jnp.logical_or(s["finished"], nxt == eot)
         logits, cache = M.decode_step(
             params, cross_kv, s["cache"], nxt, i, config, policy,
-            valid_from=valid_from,
+            valid_from=valid_from, unroll=scan_unroll,
         )
         return dict(
             cache=cache,

@@ -459,6 +459,7 @@ def decode_step(
     policy: DtypePolicy = DtypePolicy(),
     *,
     valid_from: Optional[jnp.ndarray] = None,  # [B] mask cache pos < this
+    unroll: int = 1,  # layer-scan unroll factor (perf knob; see PERF.md)
 ) -> Tuple[jnp.ndarray, KVCache]:
     """One decoder step. Returns (fp32 logits [B, vocab], updated cache)."""
     p = params["decoder"]
@@ -489,7 +490,7 @@ def decode_step(
         return x, (k_t, v_t)
 
     x, (k_new, v_new) = jax.lax.scan(
-        layer, x, (p["layers"], cache.k, cache.v) + cross_xs
+        layer, x, (p["layers"], cache.k, cache.v) + cross_xs, unroll=unroll
     )
     # single small in-place write of this step's K/V across all layers —
     # [L,B,H,Dh,1] into the while-loop-carried [L,B,H,Dh,S] cache

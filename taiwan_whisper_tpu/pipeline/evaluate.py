@@ -39,7 +39,8 @@ from ..text.tokenizer import WhisperTokenizer, strip_markers
 
 @dataclasses.dataclass
 class EvalConfig:
-    language: str = "zh"
+    # "none" -> English-only models' prefix [sot(, notimestamps)]
+    language: Optional[str] = "zh"
     task: str = "transcribe"
     mode: str = "short"  # short | sequential | chunked | speculative
     batch_size: int = 16
@@ -47,6 +48,12 @@ class EvalConfig:
     max_decode_len: int = 448
     separate_language: bool = True
     num_draft_tokens: int = 5  # speculative mode
+
+    def __post_init__(self):
+        if isinstance(self.language, str) and self.language.lower() in (
+            "none", "en-only", ""
+        ):
+            self.language = None
 
 
 @dataclasses.dataclass

@@ -116,6 +116,22 @@ class SpecialTokens:
 
 MULTILINGUAL = SpecialTokens()
 MULTILINGUAL_V3 = SpecialTokens(eot=50257, sot=50258, n_languages=100)
+# English-only models (*.en — the reference's baseline sweeps,
+# flax/evaluation_scripts/test/run_baselines.sh): GPT-2 vocab keeps
+# <|endoftext|> at 50256, so every special shifts down by one. The language
+# block still exists in the vocab (unused); sot_sequence(language=None)
+# yields the [sot(, notimestamps)] forced ids these models expect.
+ENGLISH = SpecialTokens(eot=50256, sot=50257, n_languages=99)
+
+
+def special_for_vocab(vocab_size: int) -> SpecialTokens:
+    """Token layout implied by a checkpoint's vocab size (51864 = *.en,
+    51865 = multilingual v1/v2, 51866 = large-v3 family)."""
+    if vocab_size == ENGLISH.vocab_size:
+        return ENGLISH
+    if vocab_size == MULTILINGUAL_V3.vocab_size:
+        return MULTILINGUAL_V3
+    return MULTILINGUAL
 
 
 def frames_to_timestamp_str(n_frames: int, sample_rate: int = 16000) -> str:
@@ -239,14 +255,18 @@ class WhisperTokenizer:
         return None
 
     def sot_sequence(
-        self, language: str = "zh", task: str = "transcribe",
+        self, language: Optional[str] = "zh", task: str = "transcribe",
         timestamps: bool = True,
     ) -> List[int]:
         """[<|startoftranscript|>, <|lang|>, <|task|>, (<|notimestamps|>)] —
-        the forced decoder ids of HF generate."""
+        the forced decoder ids of HF generate. ``language=None`` gives the
+        English-only models' prefix [sot(, notimestamps)] (no lang/task)."""
         s = self.special
-        seq = [s.sot, s.language_id(language),
-               s.transcribe if task == "transcribe" else s.translate]
+        if language is None:
+            seq = [s.sot]
+        else:
+            seq = [s.sot, s.language_id(language),
+                   s.transcribe if task == "transcribe" else s.translate]
         if not timestamps:
             seq.append(s.no_timestamps)
         return seq

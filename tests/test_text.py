@@ -254,3 +254,30 @@ def test_phonemize_requires_some_zh_source(tmp_path):
         pass
     with pytest.raises(RuntimeError, match="zh_lexicon_path"):
         MixErrorRate(phonemize=True)
+
+
+# -- English-only (*.en) token layout -----------------------------------------
+
+
+def test_english_layout():
+    from taiwan_whisper_tpu.text.tokenizer import ENGLISH, special_for_vocab
+
+    # the *.en vocab: every special shifts down one vs multilingual
+    assert ENGLISH.eot == 50256
+    assert ENGLISH.sot == 50257
+    assert ENGLISH.transcribe == 50358
+    assert ENGLISH.sot_prev == 50360
+    assert ENGLISH.no_speech == 50361
+    assert ENGLISH.no_timestamps == 50362
+    assert ENGLISH.timestamp_begin == 50363
+    assert ENGLISH.vocab_size == 51864
+    assert special_for_vocab(51864) is ENGLISH
+    assert special_for_vocab(51865) is MULTILINGUAL
+    assert special_for_vocab(51866).n_languages == 100
+
+    tok = WhisperTokenizer(ENGLISH)
+    # English models force only [sot(, notimestamps)] — no lang/task ids
+    assert tok.sot_sequence(None) == [50257]
+    assert tok.sot_sequence(None, timestamps=False) == [50257, 50362]
+    assert tok.special_token_string(50257) == "<|startoftranscript|>"
+    assert tok.special_token_string(50363) == "<|0.00|>"

@@ -1,8 +1,9 @@
 """Per-stage timing of the pseudo-labelling path on the real chip.
 
-Times mel / encoder / cross-KV+prefill / decode-loop separately (each its
-own jit, result materialised to host per the tunnel caveat in PERF.md) so
-optimization effort goes where the milliseconds are.
+Each stage runs ITERS times inside one jit (lax.fori_loop) and returns a
+scalar, so the tunnel's device->host transfer cost (which dominates any
+per-call timing of large intermediates) is paid once per measurement, not
+per iteration. See PERF.md "Timing methodology".
 """
 
 import json
@@ -13,17 +14,6 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
-
-
-def timed(fn, *args, iters=4):
-    np.asarray(jax.tree_util.tree_leaves(fn(*args))[0])  # compile
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-        np.asarray(jax.tree_util.tree_leaves(out)[0])
-    return (time.perf_counter() - t0) / iters
-
-
 import jax
 import jax.numpy as jnp
 
@@ -35,6 +25,29 @@ from taiwan_whisper_tpu.models.params import init_params
 from taiwan_whisper_tpu.ops.mel_kernel import log_mel_pallas
 from taiwan_whisper_tpu.audio.mel import N_SAMPLES
 from taiwan_whisper_tpu.text.tokenizer import MULTILINGUAL, WhisperTokenizer
+
+ITERS = 8
+
+
+def timed_loop(stage_fn, *args):
+    """Wall time per iteration of stage_fn, looped ITERS times inside jit.
+
+    stage_fn must fold its (varying) iteration index into its input so XLA
+    cannot hoist the body out of the loop, and return a scalar.
+    """
+
+    @jax.jit
+    def run(*a):
+        def body(i, acc):
+            return acc + stage_fn(i, *a)
+
+        return jax.lax.fori_loop(0, ITERS, body, jnp.float32(0.0))
+
+    np.asarray(run(*args))  # compile + warm
+    t0 = time.perf_counter()
+    np.asarray(run(*args))
+    return (time.perf_counter() - t0) / ITERS
+
 
 batch = int(sys.argv[1]) if len(sys.argv) > 1 else 64
 budget = 192
@@ -48,29 +61,39 @@ max_len = prefix.shape[1] + budget
 
 rng = np.random.RandomState(0)
 audio = jnp.asarray(rng.randn(batch, N_SAMPLES).astype(np.float32) * 0.1)
+mel = jax.jit(log_mel_pallas)(audio)
+enc = jax.jit(lambda m: M.encode(params, m, config, policy))(mel)
 
-mel_fn = jax.jit(log_mel_pallas)
-enc_fn = jax.jit(lambda m: M.encode(params, m, config, policy))
+mel_s = timed_loop(
+    lambda i, a: jnp.sum(log_mel_pallas(a + i * 1e-9)[:, 0, 0]), audio
+)
+enc_s = timed_loop(
+    lambda i, m: jnp.sum(
+        M.encode(params, m + i * 1e-9, config, policy)[:, 0, 0]
+    ).astype(jnp.float32),
+    mel,
+)
 
 
-@jax.jit
-def decode_fn(enc, prefix):
-    return greedy_decode(
-        params, enc, prefix, config, rules, policy, max_len=max_len,
+def dec_stage(i, e, p):
+    r = greedy_decode(
+        params, e + i * 1e-9, p, config, rules, policy, max_len=max_len,
         quantize_cross_kv=True,
-    ).tokens
+    )
+    return jnp.sum(r.tokens[:, -1]).astype(jnp.float32)
 
 
-mel = mel_fn(audio)
-enc = enc_fn(mel)
+dec_s = timed_loop(dec_stage, enc, prefix)
+
 res = {
     "batch": batch,
-    "mel_ms": round(timed(mel_fn, audio) * 1e3, 1),
-    "encode_ms": round(timed(enc_fn, mel) * 1e3, 1),
-    "decode_192_ms": round(timed(decode_fn, enc, prefix) * 1e3, 1),
+    "iters": ITERS,
+    "mel_ms": round(mel_s * 1e3, 1),
+    "encode_ms": round(enc_s * 1e3, 1),
+    "decode_192_ms": round(dec_s * 1e3, 1),
+    "decode_step_ms": round(dec_s * 1e3 / budget, 3),
 }
-res["decode_step_ms"] = round(res["decode_192_ms"] / budget, 3)
-total = res["mel_ms"] + res["encode_ms"] + res["decode_192_ms"]
-res["total_ms"] = round(total, 1)
-res["audio_s_per_s"] = round(batch * 30.0 / (total / 1e3), 1)
+total = mel_s + enc_s + dec_s
+res["total_ms"] = round(total * 1e3, 1)
+res["audio_s_per_s"] = round(batch * 30.0 / total, 1)
 print(json.dumps(res))
