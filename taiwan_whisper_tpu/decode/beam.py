@@ -82,10 +82,13 @@ def beam_decode(
     length_penalty: float = 1.0,
     sot_index: int = 0,
     quantize_cross_kv: int = 0,  # 0/False off; True/8 int8; 4 int4 cross-KV
+    scan_unroll: int = 0,  # decoder layer-scan unroll; 0 = auto
 ) -> BeamResult:
     b, p_len = prefix.shape
     k = num_beams
     max_len = max_len or config.max_target_positions
+    if scan_unroll == 0:
+        scan_unroll = config.decoder_layers if config.decoder_layers <= 8 else 4
     eot = rules.eot
     ts_begin = rules.timestamp_begin
 
@@ -211,7 +214,8 @@ def beam_decode(
             k=reorder_cache(s["cache"].k), v=reorder_cache(s["cache"].v)
         )
         logits, cache = M.decode_step(
-            params, cross_kv, cache, _flat(new_tok), i, config, policy
+            params, cross_kv, cache, _flat(new_tok), i, config, policy,
+            unroll=scan_unroll,
         )
         return dict(
             cache=cache,

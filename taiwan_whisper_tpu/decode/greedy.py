@@ -56,12 +56,15 @@ def greedy_decode(
     sot_index: int = 0,  # position of <|startoftranscript|> in prefix
     valid_from: Optional[jnp.ndarray] = None,  # [B] for left-padded prompts
     quantize_cross_kv: int = 0,  # 0/False off; True/8 int8; 4 int4 cross-KV
-    scan_unroll: int = 1,  # decoder layer-scan unroll (perf knob)
+    scan_unroll: int = 0,  # decoder layer-scan unroll; 0 = auto (PERF.md:
+    # full unroll for shallow decoders measured -28% step time on chip)
 ) -> DecodeResult:
     """Greedy (temperature==0) or sampled decode of a batch of utterances."""
     b, p_len = prefix.shape
     max_len = max_len or config.max_target_positions
     assert p_len < max_len
+    if scan_unroll == 0:
+        scan_unroll = config.decoder_layers if config.decoder_layers <= 8 else 4
     eot = rules.eot
     ts_begin = rules.timestamp_begin
 

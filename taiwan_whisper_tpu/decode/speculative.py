@@ -135,6 +135,7 @@ def speculative_decode(
             logits, s_cache = M.decode_step(
                 student_params, s_cross, s_cache, tok, cur + j,
                 student_config, policy,
+                unroll=min(student_config.decoder_layers, 8),
             )
             nxt = pick(logits, d_tokens, cur + j + 1, d_ts)
             d_tokens = jax.lax.dynamic_update_slice(
@@ -217,6 +218,8 @@ def speculative_decode(
         logits, t_cache = M.decode_step(
             teacher_params, t_cross, st["t_cache"], tok, cur,
             teacher_config, policy,
+            unroll=(teacher_config.decoder_layers
+                    if teacher_config.decoder_layers <= 8 else 4),
         )
         return dict(
             st,
