@@ -2,7 +2,7 @@
 
 Measures the BASELINE.json headline metric — audio-seconds/s per chip on the
 pseudo-labelling path (config 2 scaled to the measured throughput knee:
-whisper-base batched greedy, batch=64,
+whisper-base batched greedy, batch=96,
 30 s chunks): on-device Pallas log-mel -> encoder -> KV-cached greedy decode
 with the full Whisper timestamp rule stack, decoding a fixed 192-token
 budget per chunk (a realistic long-form labelling budget; random weights
@@ -35,7 +35,7 @@ def main() -> None:
     from taiwan_whisper_tpu.audio.mel import N_SAMPLES
     from taiwan_whisper_tpu.text.tokenizer import MULTILINGUAL, WhisperTokenizer
 
-    batch = 64
+    batch = 96
     decode_budget = 192
     config = get_config("base")
     policy = DtypePolicy.bf16()

@@ -125,11 +125,17 @@ def named_sharding(mesh: Mesh, *logical_axes) -> NamedSharding:
     return NamedSharding(mesh, logical_to_spec(logical_axes))
 
 
-def host_local_slice(n_items: int) -> slice:
+def host_local_slice(
+    n_items: int,
+    process_index: Optional[int] = None,
+    process_count: Optional[int] = None,
+) -> slice:
     """The contiguous shard of ``n_items`` owned by this host (multi-host data
     loading; replaces the per-rank-file sharding of the reference's
-    dataset/cool_dataset.py:216-225)."""
-    pid, nproc = jax.process_index(), jax.process_count()
+    dataset/cool_dataset.py:216-225). ``process_index``/``process_count``
+    override the jax runtime values (for tests / external launchers)."""
+    pid = jax.process_index() if process_index is None else process_index
+    nproc = jax.process_count() if process_count is None else process_count
     per = n_items // nproc
     extra = n_items % nproc
     start = pid * per + min(pid, extra)

@@ -200,6 +200,11 @@ def run_prefilter(
     rank = jax.process_index()
     hyp_path = os.path.join(output_dir, f"idx_hyp.{rank}.txt")
     write_hyps_tsv(hyp_path, hyps_local)
+    if jax.process_count() > 1:
+        # all ranks must have flushed their shard before rank 0 merges
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("prefilter_shards_written")
     # single-host: merge immediately; multi-host: rank 0 merges all shards
     if jax.process_count() == 1 or rank == 0:
         import glob

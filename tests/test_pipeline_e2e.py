@@ -202,3 +202,35 @@ def test_full_pipeline(tmp_path, model_dirs, byte_tokenizer_dir):
     assert 0.0 <= res.mer
     assert res.audio_seconds_per_second > 0
     assert res.n_samples == len(rel) * 8
+
+
+def test_multi_rank_hyp_shard_merge(tmp_path):
+    """Rank-sharded validator outputs merge like the reference's
+    per-rank idx_hyp.{rank}.txt + sort pipeline (dataset/cool_dataset.py:
+    216-225, dataset/test_cool_dataset.sh:25-26), tolerating junk lines."""
+    from taiwan_whisper_tpu.pipeline.prefilter import read_hyps_tsv
+
+    (tmp_path / "idx_hyp.0.txt").write_text(
+        "0\thyp zero\n2\thyp two\nnot-an-int\tjunk\n"
+    )
+    (tmp_path / "idx_hyp.1.txt").write_text(
+        "1\thyp one\n3\thyp three\nbroken-line-without-tab\n"
+    )
+    merged = read_hyps_tsv(
+        [str(tmp_path / f"idx_hyp.{r}.txt") for r in (0, 1)]
+    )
+    assert merged == {0: "hyp zero", 1: "hyp one", 2: "hyp two", 3: "hyp three"}
+
+
+def test_manifest_host_sharding():
+    """Each simulated process gets a disjoint, exhaustive slice."""
+    from taiwan_whisper_tpu.audio.manifest import Manifest
+    from taiwan_whisper_tpu.parallel.mesh import host_local_slice
+
+    paths = [f"u{i}.flac" for i in range(10)]
+    got = []
+    for rank in range(3):
+        sl = host_local_slice(len(paths), process_index=rank, process_count=3)
+        got.extend(paths[sl])
+    assert sorted(got) == sorted(paths)
+    assert len(set(got)) == len(paths)
