@@ -97,14 +97,15 @@ def _attention(
     return out
 
 
-def _self_attn_block(p: Params, x: jnp.ndarray, n_heads: int, mask, dtype):
+def _self_attn_block(p: Params, x: jnp.ndarray, n_heads: int, mask, dtype,
+                     use_pallas: bool = True):
     q = _split_heads(_dense(p["q"], x, dtype), n_heads)
     k = _split_heads(_dense(p["k"], x, dtype), n_heads)
     v = _split_heads(_dense(p["v"], x, dtype), n_heads)
     q = shard(q, "batch", "length", "heads", "kv")
     k = shard(k, "batch", "length", "heads", "kv")
     v = shard(v, "batch", "length", "heads", "kv")
-    if mask is None and _use_pallas_attention(q.shape):
+    if mask is None and use_pallas and _use_pallas_attention(q.shape):
         from ..ops.attention import encoder_attention
 
         out = encoder_attention(q, k, v)
@@ -170,10 +171,15 @@ def encode(
     policy: DtypePolicy = DtypePolicy(),
     *,
     freeze_embed_positions: bool = True,
+    use_pallas: bool = True,
 ) -> jnp.ndarray:
     """Encoder forward: conv stem -> +sinusoid positions -> N layers -> LN.
 
     Returns [B, max_source_positions, d_model] in policy.compute_dtype.
+    ``use_pallas=False`` forces the XLA attention path — required when the
+    encoder itself is differentiated (the Pallas kernel defines no VJP;
+    frozen-encoder training instead stop-gradients the encoder params, so
+    inference and frozen training keep the kernel).
     """
     p = params["encoder"]
     dtype = policy.compute_dtype
@@ -191,7 +197,10 @@ def encode(
 
     def layer(x, lp):
         h = _layer_norm(lp["self_attn_ln"], x)
-        x = x + _self_attn_block(lp["self_attn"], h, config.encoder_attention_heads, None, dtype)
+        x = x + _self_attn_block(
+            lp["self_attn"], h, config.encoder_attention_heads, None, dtype,
+            use_pallas=use_pallas,
+        )
         h = _layer_norm(lp["final_ln"], x)
         x = x + _mlp_block(lp["fc1"], lp["fc2"], h, dtype)
         x = shard(x, "batch", "length", "embed")

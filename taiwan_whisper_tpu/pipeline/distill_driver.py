@@ -30,7 +30,12 @@ from ..ops.mel_kernel import log_mel_pallas
 from ..parallel.mesh import make_mesh, use_mesh
 from ..parallel.specs import shard_params
 from ..train.distill import DistillConfig, make_eval_step, make_train_step
-from ..train.state import CheckpointManager, OptimConfig, make_optimizer
+from ..train.state import (
+    CheckpointManager,
+    OptimConfig,
+    make_optimizer,
+    trainable_mask,
+)
 from ..text.tokenizer import WhisperTokenizer
 from ..utils.logging import MetricsLogger
 from ..utils.prefetch import prefetch
@@ -93,7 +98,11 @@ def run_distillation(
         )
 
     opt_cfg = opt_cfg or OptimConfig(total_steps=run_cfg.max_steps)
-    optimizer = make_optimizer(opt_cfg)
+    # no AdamW moments for frozen subtrees (the 32-2 encoder is ~2/3 of the
+    # student's params — this is multiple GB of HBM at large-v2 scale)
+    optimizer = make_optimizer(
+        opt_cfg, mask=trainable_mask(student_params, dcfg.freeze_encoder)
+    )
 
     # pad/trim audio to the student's context and labels to its decoder
     # length (30 s / 448 for real models)

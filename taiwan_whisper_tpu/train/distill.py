@@ -94,10 +94,21 @@ def distill_loss(
     labels = batch["labels"]
 
     # one encoder pass, shared by both decoders (teacher encoder == student
-    # encoder under freeze+share, so running it from student params is exact)
-    enc = M.encode(student_params, mel, student_config, policy)
+    # encoder under freeze+share, so running it from student params is exact).
+    # Frozen: stop-grad the encoder PARAMS (not just the output) so autodiff
+    # never linearizes the encoder — keeps the Pallas attention kernel legal
+    # under value_and_grad and skips building its tangent graph entirely.
+    # Trainable encoder: force the differentiable XLA attention path.
     if dcfg.freeze_encoder:
-        enc = jax.lax.stop_gradient(enc)
+        enc_params = dict(
+            student_params, encoder=jax.lax.stop_gradient(student_params["encoder"])
+        )
+        enc = jax.lax.stop_gradient(
+            M.encode(enc_params, mel, student_config, policy)
+        )
+    else:
+        enc = M.encode(student_params, mel, student_config, policy,
+                       use_pallas=False)
 
     need_mse = dcfg.mse_weight > 0.0
     # CE-only fine-tuning (reference flax/run_finetuning.py:880-903) skips

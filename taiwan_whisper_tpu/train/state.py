@@ -54,7 +54,33 @@ def make_schedule(cfg: OptimConfig):
     raise ValueError(f"unknown schedule {cfg.schedule!r}")
 
 
-def make_optimizer(cfg: OptimConfig):
+def trainable_mask(params, freeze_encoder: bool = True):
+    """Bool pytree marking which params train (True) vs stay frozen.
+
+    Mirrors make_train_step's zero_frozen: the encoder (when frozen) and
+    the decoder positional table get no gradient — so AdamW should hold no
+    moments for them either. For a 32-2 student this avoids ~2/3 of the
+    optimizer-state HBM (reference freezing: run_distillation.py:1039-1066).
+    """
+    import jax
+
+    def full(tree, val):
+        return jax.tree.map(lambda _: val, tree)
+
+    m = {k: full(v, True) for k, v in params.items()}
+    if freeze_encoder and "encoder" in params:
+        m["encoder"] = full(params["encoder"], False)
+    if "decoder" in params:
+        dec = dict(m["decoder"])
+        if "embed_positions" in dec:
+            dec["embed_positions"] = False
+        m["decoder"] = dec
+    return m
+
+
+def make_optimizer(cfg: OptimConfig, mask=None):
+    """AdamW (+warmup schedule, +grad accumulation). ``mask`` (a bool pytree
+    from :func:`trainable_mask`) restricts moments to trainable leaves."""
     tx = optax.adamw(
         learning_rate=make_schedule(cfg),
         b1=cfg.adam_b1,
@@ -62,6 +88,8 @@ def make_optimizer(cfg: OptimConfig):
         eps=cfg.adam_eps,
         weight_decay=cfg.weight_decay,
     )
+    if mask is not None:
+        tx = optax.masked(tx, mask)
     # updates (not params) are returned; gradient accumulation wraps the
     # whole transform (reference: optax.MultiSteps in flax/run_distillation)
     if cfg.grad_accum_steps > 1:

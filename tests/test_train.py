@@ -213,3 +213,52 @@ def test_checkpoint_manager(tmp_path):
     restored, step = cm.restore(like=state)
     assert step == 40
     np.testing.assert_allclose(np.asarray(restored["params"]["w"]), 4.0)
+
+
+def test_masked_optimizer_skips_frozen_moments():
+    """optax.masked via trainable_mask: no AdamW moments for the frozen
+    encoder / positional table, identical updates for trainable leaves."""
+    import optax
+
+    from taiwan_whisper_tpu.train.state import trainable_mask
+
+    teacher_cfg = _cfg(dec_layers=2)
+    teacher = init_params(teacher_cfg, seed=0)
+    student_cfg = teacher_cfg.with_decoder_layers(1)
+    student = init_student_from_teacher(teacher, teacher_cfg, 1)
+
+    mask = trainable_mask(student, freeze_encoder=True)
+    assert mask["decoder"]["embed_positions"] is False
+    assert all(not leaf for leaf in jax.tree.leaves(mask["encoder"]))
+    assert mask["decoder"]["layers"]["fc1"]["kernel"] is True
+
+    ocfg = OptimConfig(learning_rate=1e-3, warmup_steps=0)
+    opt = make_optimizer(ocfg, mask=mask)
+    state = opt.init(student)
+    # masked leaves hold MaskedNode placeholders, not moment arrays
+    inner = state[0]  # MaskedState wrapping the adamw chain
+    mus = [l for l in jax.tree.leaves(inner, is_leaf=lambda x: x is None)]
+    n_opt_arrays = sum(
+        1 for l in jax.tree.leaves(state) if hasattr(l, "shape") and l.ndim > 0
+    )
+    n_trainable = sum(
+        1 for l, m in zip(jax.tree.leaves(student), jax.tree.leaves(mask)) if m
+    )
+    # mu+nu per trainable leaf (plus scalar counts) — far fewer arrays than
+    # 2x all leaves
+    assert n_opt_arrays <= 2 * n_trainable, (n_opt_arrays, n_trainable)
+
+    # training still works and matches the unmasked optimizer on trainables
+    dcfg = DistillConfig()
+    step = jax.jit(make_train_step(student_cfg, teacher_cfg, dcfg, opt, FP32))
+    batch = _batch()
+    p, state2, m = step(student, state, teacher, batch)
+    assert np.isfinite(float(m["loss"]))
+    np.testing.assert_array_equal(
+        np.asarray(p["encoder"]["conv1"]["kernel"]),
+        np.asarray(student["encoder"]["conv1"]["kernel"]),
+    )
+    assert not np.allclose(
+        np.asarray(p["decoder"]["layers"]["fc1"]["kernel"]),
+        np.asarray(student["decoder"]["layers"]["fc1"]["kernel"]),
+    )
