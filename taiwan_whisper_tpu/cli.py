@@ -210,6 +210,67 @@ def cmd_init_student(args):
     print(f"[init-student] wrote {args.out}")
 
 
+def cmd_transcribe(args):
+    """Long-form transcription of audio files to txt/srt/vtt/json — the
+    user-facing counterpart of the reference's long-form drivers
+    (training/flax/run_long_form_transcription.py, FlaxWhisperPipeline)."""
+    from .audio.io import load_audio_16k
+    from .decode.longform import chunked_decode, sequential_decode
+    from .models.io import load_model
+    from .text.subtitles import Cue, write_srt, write_vtt
+    from .text.tokenizer import WhisperTokenizer, special_for_vocab
+
+    _maybe_init_distributed(args)
+    params, config = load_model(args.model)
+    special = special_for_vocab(config.vocab_size)
+    tok = (WhisperTokenizer.from_pretrained_dir(args.tokenizer_dir, special=special)
+           if args.tokenizer_dir else WhisperTokenizer(special))
+    language = None if args.language.lower() in ("none", "") else args.language
+
+    files = []
+    for pattern in args.audio:
+        if os.path.isdir(pattern):
+            files.extend(sorted(glob.glob(os.path.join(pattern, "*.flac")))
+                         + sorted(glob.glob(os.path.join(pattern, "*.wav"))))
+        else:
+            files.extend(sorted(glob.glob(pattern)) or [pattern])
+    os.makedirs(args.output_dir, exist_ok=True)
+    results = {}
+    for path in files:
+        audio = load_audio_16k(path)
+        if args.strategy == "sequential":
+            res = sequential_decode(
+                params, audio, config, tok,
+                language=language, quantize_cross_kv=args.quantize_kv,
+            )
+        else:
+            res = chunked_decode(
+                params, audio, config, tok,
+                language=language, batch_size=args.batch_size,
+                quantize_cross_kv=args.quantize_kv,
+            )
+        stem = os.path.splitext(os.path.basename(path))[0]
+        cues = [Cue(s.start, s.end, s.text(tok)) for s in res.segments]
+        out_base = os.path.join(args.output_dir, stem)
+        if args.format == "txt":
+            with open(out_base + ".txt", "w", encoding="utf-8") as f:
+                f.write(res.text(tok).strip() + "\n")
+        elif args.format == "srt":
+            write_srt(out_base + ".srt", cues)
+        elif args.format == "vtt":
+            write_vtt(out_base + ".vtt", cues)
+        else:  # json
+            with open(out_base + ".json", "w", encoding="utf-8") as f:
+                json.dump(
+                    [{"start": c.start, "end": c.end, "text": c.text}
+                     for c in cues],
+                    f, ensure_ascii=False, indent=1,
+                )
+        results[path] = len(cues)
+        print(f"[transcribe] {path}: {len(cues)} segments")
+    return results
+
+
 def cmd_sweep(args):
     from .pipeline.sweep import run_sweep
 
@@ -350,6 +411,22 @@ def build_parser() -> argparse.ArgumentParser:
                    help="comma-separated explicit teacher layer indices")
     p.add_argument("--mix_lang_emb", action="store_true")
     p.set_defaults(fn=cmd_init_student)
+
+    p = sub.add_parser("transcribe", help="long-form ASR -> txt/srt/vtt/json")
+    p.add_argument("--audio", nargs="+", required=True,
+                   help="audio files, globs, or directories")
+    p.add_argument("--model", required=True)
+    p.add_argument("--output_dir", required=True)
+    p.add_argument("--language", default="zh",
+                   help="forced language; 'none' for *.en models")
+    p.add_argument("--strategy", default="chunked",
+                   choices=["chunked", "sequential"])
+    p.add_argument("--format", default="srt",
+                   choices=["txt", "srt", "vtt", "json"])
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--quantize_kv", action="store_true")
+    _add_common(p)
+    p.set_defaults(fn=cmd_transcribe)
 
     p = sub.add_parser("sweep", help="local HP sweep over a wandb-style YAML")
     p.add_argument("--config", required=True, help="sweep YAML path")

@@ -139,3 +139,28 @@ def build_test_set(
             f.write(text + "\n")
         rels.append(os.path.join(stem, f"{base}.{audio_format}"))
     return rels
+
+
+def _fmt_timecode(seconds: float, sep: str) -> str:
+    ms = int(round(max(seconds, 0.0) * 1000))
+    h, rem = divmod(ms, 3_600_000)
+    m, rem = divmod(rem, 60_000)
+    s, ms = divmod(rem, 1000)
+    return f"{h:02d}:{m:02d}:{s:02d}{sep}{ms:03d}"
+
+
+def write_srt(path: str, cues: Sequence[Cue]) -> None:
+    """SubRip writer (inverse of read_srt)."""
+    with open(path, "w", encoding="utf-8") as f:
+        for i, c in enumerate(cues, start=1):
+            f.write(f"{i}\n{_fmt_timecode(c.start, ',')} --> "
+                    f"{_fmt_timecode(c.end, ',')}\n{c.text.strip()}\n\n")
+
+
+def write_vtt(path: str, cues: Sequence[Cue]) -> None:
+    """WebVTT writer (inverse of read_vtt)."""
+    with open(path, "w", encoding="utf-8") as f:
+        f.write("WEBVTT\n\n")
+        for c in cues:
+            f.write(f"{_fmt_timecode(c.start, '.')} --> "
+                    f"{_fmt_timecode(c.end, '.')}\n{c.text.strip()}\n\n")

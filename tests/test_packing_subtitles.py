@@ -85,3 +85,24 @@ def test_cut_cue_pairs():
     assert len(pairs) == 1
     assert len(pairs[0][0]) == 16000
     assert pairs[0][1] == "a"
+
+
+def test_srt_vtt_writers_roundtrip(tmp_path):
+    from taiwan_whisper_tpu.text.subtitles import (
+        Cue, read_srt, read_vtt, write_srt, write_vtt,
+    )
+
+    cues = [
+        Cue(0.0, 1.5, "hello world"),
+        Cue(61.25, 3661.004, "跨 model 測試"),
+    ]
+    srt = tmp_path / "a.srt"
+    vtt = tmp_path / "a.vtt"
+    write_srt(str(srt), cues)
+    write_vtt(str(vtt), cues)
+    for back in (read_srt(str(srt)), read_vtt(str(vtt))):
+        assert len(back) == 2
+        for orig, got in zip(cues, back):
+            assert abs(orig.start - got.start) < 0.002
+            assert abs(orig.end - got.end) < 0.002
+            assert got.text == orig.text
