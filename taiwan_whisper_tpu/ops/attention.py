@@ -27,13 +27,16 @@ _NEG = float(np.finfo(np.float32).min)
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, s_real):
-    q = q_ref[0].astype(jnp.float32)  # [BQ, D]
-    k = k_ref[0].astype(jnp.float32)  # [S_pad, D]
+    # dot in the input dtype (bf16 on TPU -> full-rate MXU; an fp32 upcast
+    # here measured ~6x slower) with fp32 accumulation; the 1/sqrt(d) scale
+    # applies to the fp32 scores, preserving numerics
+    q = q_ref[0]  # [BQ, D]
+    k = k_ref[0]  # [S_pad, D]
     scores = jax.lax.dot_general(
-        q * scale, k,
+        q, k,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # [BQ, S_pad]
+    ) * scale  # [BQ, S_pad] fp32
     s_pad = scores.shape[-1]
     if s_real < s_pad:
         col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
@@ -50,18 +53,19 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "q_block"))
 def encoder_attention(
     q: jnp.ndarray,  # [B, S, H, D]
     k: jnp.ndarray,
     v: jnp.ndarray,
     *,
     interpret: bool = False,
+    q_block: int = _Q_BLOCK,
 ) -> jnp.ndarray:
     """Non-causal multi-head attention, q-scaled inside. [B,S,H,D] -> same."""
     b, s, h, d = q.shape
     scale = d ** -0.5
-    s_pad = _round_up(s, _Q_BLOCK)
+    s_pad = _round_up(s, q_block)
     dtype = q.dtype
 
     def to_flat(x):
@@ -72,20 +76,20 @@ def encoder_attention(
 
     qf, kf, vf = to_flat(q), to_flat(k), to_flat(v)
 
-    grid = (b * h, s_pad // _Q_BLOCK)
+    grid = (b * h, s_pad // q_block)
     out = pl.pallas_call(
         functools.partial(_attn_kernel, scale=scale, s_real=s),
         out_shape=jax.ShapeDtypeStruct((b * h, s_pad, d), dtype),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, _Q_BLOCK, d), lambda i, j: (i, j, 0),
+            pl.BlockSpec((1, q_block, d), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, s_pad, d), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, s_pad, d), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, _Q_BLOCK, d), lambda i, j: (i, j, 0),
+        out_specs=pl.BlockSpec((1, q_block, d), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
         cost_estimate=pl.CostEstimate(
             flops=2 * 2 * b * h * s_pad * s_pad * d,
