@@ -330,6 +330,9 @@ def precompute_cross_kv(
     """Cross-attention K/V for all layers: [L, B, T_enc, H, Dh] pair.
 
     Computed once per utterance; the decode loop then never touches enc_out.
+    The time-major layout measured fastest end-to-end (PERF.md: a head-major
+    [L,B,H,T,Dh] variant built for the Pallas decode kernels cost ~7% of
+    labelling throughput on the XLA einsum path and was reverted).
     """
     dtype = policy.compute_dtype
     n_heads = config.decoder_attention_heads
@@ -400,20 +403,74 @@ def _cross_xs(cross_kv):
     return cross_kv
 
 
-def _cross_attention(q, cross_slice, dtype):
-    """q [B, Sq, H, Dh] against one layer's cross K/V (plain or int8)."""
+def _use_pallas_decode(dh: int, opt_in: bool) -> bool:
+    """Gate for the EXPERIMENTAL Pallas decode-attention kernels.
+
+    Measured on v5e (PERF.md "decode kernels" note): the XLA einsum path
+    already streams cross/self K/V at 620-740 GB/s (76-90% of HBM peak) and
+    the int8->bf16 dequant is VPU-bound either way, so the Pallas kernels'
+    per-grid-cell overhead makes them 4-6x SLOWER at whisper-base decode
+    shapes. They therefore require explicit opt-in (use_pallas="force") and
+    exist for experimentation on other shapes. Also disabled when the mesh
+    tensor-shards heads over ``model`` (pallas_call does not
+    auto-partition)."""
+    if not opt_in:
+        return False
+    try:
+        from ..ops.decode_attention import supported
+        from ..parallel.mesh import MODEL_AXIS, get_active_mesh
+
+        if not (supported(dh) and jax.default_backend() == "tpu"):
+            return False
+        mesh = get_active_mesh()
+        if mesh is not None and MODEL_AXIS in mesh.axis_names:
+            if mesh.shape[MODEL_AXIS] > 1:
+                return False
+        return True
+    except Exception:
+        return False
+
+
+def _cross_attention(q, cross_slice, dtype, use_pallas: bool = False):
+    """q [B, Sq, H, Dh] against one layer's cross K/V [B, T, H, Dh]
+    (plain bf16 or int8 QuantCrossKV slices)."""
+    dh = q.shape[-1]
+    scale = dh ** -0.5
     if len(cross_slice) == 4:
         kq, ks, vq, vs = cross_slice
-        # fold the K scale into q; cast int8 operands inside the dots
-        qs = (q.astype(jnp.float32) * ks).astype(dtype)
-        att = _attention(qs, kq.astype(dtype), vq.astype(dtype), None, dtype)
-        return (att.astype(jnp.float32) * vs).astype(dtype)
-    xk, xv = cross_slice
-    return _attention(q, xk, xv, None, dtype)
+        # fold 1/sqrt(d) and the K scale ([B,1,H,Dh]) into q (fp32, one
+        # cast); the int8 K/V cast to compute dtype inside the dots
+        qs = (q.astype(jnp.float32) * scale * ks).astype(dtype)
+    else:
+        kq, vq = cross_slice
+        vs = None
+        qs = (q * scale).astype(dtype)
+    if q.shape[1] == 1 and _use_pallas_decode(dh, use_pallas):
+        from ..ops.decode_attention import cross_decode_attention
+
+        # the experimental kernel wants head-major contiguous [B,H,T,Dh]
+        att = cross_decode_attention(
+            qs[:, 0],
+            jnp.transpose(kq, (0, 2, 1, 3)),
+            jnp.transpose(vq, (0, 2, 1, 3)),
+        )[:, None]  # [B,1,H,Dh] f32
+    else:
+        logits = jnp.einsum(
+            "bqhd,bkhd->bhqk", qs, kq.astype(dtype),
+            preferred_element_type=jnp.float32,
+        )
+        probs = jax.nn.softmax(logits, axis=-1).astype(dtype)
+        att = jnp.einsum(
+            "bhqk,bkhd->bqhd", probs, vq.astype(dtype),
+            preferred_element_type=jnp.float32,
+        )
+    if vs is not None:
+        att = att.astype(jnp.float32) * vs
+    return att.astype(dtype)
 
 
 def _cached_self_attn(lp, h, cache_k, cache_v, index, n_heads, dtype,
-                      valid_from=None):
+                      valid_from=None, use_pallas: bool = False):
     """One-token self-attention against the transposed cache.
 
     h: [B, 1, d]; cache_k/v: [B, H, Dh, S]; index: scalar int32 position.
@@ -426,6 +483,11 @@ def _cached_self_attn(lp, h, cache_k, cache_v, index, n_heads, dtype,
     single dynamic-update-slice. This keeps the cache a read-only operand of
     the layer scan — XLA updates the while-loop-carried buffer in place
     instead of rewriting the full [L,B,H,Dh,S] tensor every step.
+
+    With ``use_pallas`` the score+mask+softmax+PV pass runs as one Pallas
+    kernel (ops/decode_attention.py::self_decode_attention, current token
+    folded in via a flash-style rescale) — EXPERIMENTAL, measured slower
+    than the XLA einsum path at whisper shapes (see _use_pallas_decode).
     Returns (attn_out [B,1,d], k_t, v_t).
     """
     b = h.shape[0]
@@ -437,23 +499,39 @@ def _cached_self_attn(lp, h, cache_k, cache_v, index, n_heads, dtype,
     v_t = jnp.transpose(v, (0, 2, 3, 1)).astype(cache_v.dtype)
     dh = q.shape[-1]
     qh = jnp.squeeze(q, axis=1) * (dh ** -0.5)  # [B,H,Dh]
-    # scores over past cache (pos < index), current token scored directly
-    logits = jnp.einsum("bhd,bhds->bhs", qh, cache_k, preferred_element_type=jnp.float32)
-    pos = jnp.arange(s)
-    keep = pos[None, None] < index
-    if valid_from is not None:
-        keep = jnp.logical_and(keep, pos[None, None] >= valid_from[:, None, None])
-    logits = jnp.where(keep, logits, jnp.finfo(jnp.float32).min)
-    cur = jnp.einsum(
-        "bhd,bhd->bh", qh, k_t[..., 0].astype(qh.dtype),
-        preferred_element_type=jnp.float32,
-    )
-    logits = jnp.concatenate([logits, cur[..., None]], axis=-1)
-    probs = jax.nn.softmax(logits, axis=-1).astype(dtype)
-    out = jnp.einsum(
-        "bhs,bhds->bhd", probs[..., :s], cache_v, preferred_element_type=dtype
-    )
-    out = out + probs[..., s:] * v_t[..., 0].astype(dtype)
+    if _use_pallas_decode(dh, use_pallas):
+        from ..ops.decode_attention import self_decode_attention
+
+        vf = (
+            valid_from.astype(jnp.int32)
+            if valid_from is not None
+            else jnp.zeros((b,), jnp.int32)
+        )
+        out = self_decode_attention(
+            qh, cache_k, cache_v, k_t[..., 0], v_t[..., 0], index, vf
+        ).astype(dtype)
+    else:
+        # scores over past cache (pos < index), current token scored directly
+        logits = jnp.einsum(
+            "bhd,bhds->bhs", qh, cache_k, preferred_element_type=jnp.float32
+        )
+        pos = jnp.arange(s)
+        keep = pos[None, None] < index
+        if valid_from is not None:
+            keep = jnp.logical_and(
+                keep, pos[None, None] >= valid_from[:, None, None]
+            )
+        logits = jnp.where(keep, logits, jnp.finfo(jnp.float32).min)
+        cur = jnp.einsum(
+            "bhd,bhd->bh", qh, k_t[..., 0].astype(qh.dtype),
+            preferred_element_type=jnp.float32,
+        )
+        logits = jnp.concatenate([logits, cur[..., None]], axis=-1)
+        probs = jax.nn.softmax(logits, axis=-1).astype(dtype)
+        out = jnp.einsum(
+            "bhs,bhds->bhd", probs[..., :s], cache_v, preferred_element_type=dtype
+        )
+        out = out + probs[..., s:] * v_t[..., 0].astype(dtype)
     out = out.reshape(b, 1, -1)
     return _dense(lp["out"], out, dtype), k_t, v_t
 
@@ -469,6 +547,8 @@ def decode_step(
     *,
     valid_from: Optional[jnp.ndarray] = None,  # [B] mask cache pos < this
     unroll: int = 1,  # layer-scan unroll factor (perf knob; see PERF.md)
+    use_pallas: bool = False,  # EXPERIMENTAL Pallas decode-attention kernels
+    # (measured slower than the XLA path at whisper shapes; see PERF.md)
 ) -> Tuple[jnp.ndarray, KVCache]:
     """One decoder step. Returns (fp32 logits [B, vocab], updated cache)."""
     p = params["decoder"]
@@ -487,12 +567,13 @@ def decode_step(
         cross_slice = xs[3:]
         h = _layer_norm(lp["self_attn_ln"], x)
         att, k_t, v_t = _cached_self_attn(
-            lp["self_attn"], h, ck, cv, index, n_heads, dtype, valid_from
+            lp["self_attn"], h, ck, cv, index, n_heads, dtype, valid_from,
+            use_pallas=use_pallas,
         )
         x = x + att
         h = _layer_norm(lp["cross_attn_ln"], x)
         q = _split_heads(_dense(lp["cross_attn"]["q"], h, dtype), n_heads)
-        att = _cross_attention(q, cross_slice, dtype)
+        att = _cross_attention(q, cross_slice, dtype, use_pallas=use_pallas)
         x = x + _dense(lp["cross_attn"]["out"], _merge_heads(att), dtype)
         h = _layer_norm(lp["final_ln"], x)
         x = x + _mlp_block(lp["fc1"], lp["fc2"], h, dtype)
