@@ -100,12 +100,52 @@ def stream_segments(
     manifest: Manifest,
     last_segment_handler: str = "trim",
     indices: Optional[Sequence[int]] = None,
+    num_workers: int = 0,
 ) -> Iterator[SegmentFeature]:
+    """Stream decoded segments in manifest (or ``indices``) order.
+
+    ``num_workers > 0`` decodes ahead on a thread pool with a bounded
+    in-flight window, yielding strictly in order — FLAC decode runs in the
+    native C++ codec (GIL released across the ctypes call), so threads scale
+    on the host cores. This is the TPU-side answer to the reference's
+    dataloader workers (training/run_distillation.py preprocessing
+    num_workers / torchdata prefetch, flax/run_distillation.py:556-612).
+    """
     audio_paths = manifest.absolute_paths()
     txt_paths = manifest.transcript_paths()
-    order = indices if indices is not None else range(len(audio_paths))
-    for i in order:
-        yield load_segment_feature(audio_paths[i], txt_paths[i], last_segment_handler)
+    order = list(indices if indices is not None else range(len(audio_paths)))
+    if num_workers <= 0:
+        for i in order:
+            yield load_segment_feature(
+                audio_paths[i], txt_paths[i], last_segment_handler
+            )
+        return
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    window = num_workers * 2
+    with ThreadPoolExecutor(max_workers=num_workers) as pool:
+        pending = [
+            pool.submit(
+                load_segment_feature, audio_paths[i], txt_paths[i],
+                last_segment_handler,
+            )
+            for i in order[:window]
+        ]
+        nxt = window
+        for k in range(len(order)):
+            feature = pending[k].result()
+            pending[k] = None  # free decoded audio once consumed
+            if nxt < len(order):
+                i = order[nxt]
+                pending.append(
+                    pool.submit(
+                        load_segment_feature, audio_paths[i], txt_paths[i],
+                        last_segment_handler,
+                    )
+                )
+                nxt += 1
+            yield feature
 
 
 # ---------------------------------------------------------------------------
@@ -232,12 +272,14 @@ def train_batches(
     shuffle: bool = True,
     mel_fn=None,
     drop_last: bool = True,
+    num_workers: int = 0,
 ) -> Iterator[Dict[str, np.ndarray]]:
     """Stream shuffled, collated training batches from a segment manifest.
 
     mel computation defaults to host numpy via the XLA frontend on CPU
     arrays; pass mel_fn=None and feed raw audio downstream to compute mel on
     device instead (the TPU-native default in the distill driver).
+    ``num_workers`` parallelises the audio decode (stream_segments).
     """
     rng = np.random.RandomState(seed)
     order = np.arange(len(manifest))
@@ -245,7 +287,9 @@ def train_batches(
         rng.shuffle(order)
     buf_audio: List[np.ndarray] = []
     buf_labels: List[List[int]] = []
-    for feature in stream_segments(manifest, last_segment_handler, order.tolist()):
+    for feature in stream_segments(
+        manifest, last_segment_handler, order.tolist(), num_workers=num_workers
+    ):
         buf_audio.append(pad_or_trim(feature.audio.astype(np.float32), cfg.chunk_samples))
         buf_labels.append(build_label_ids(tok, feature, cfg, rng))
         if len(buf_audio) == batch_size:

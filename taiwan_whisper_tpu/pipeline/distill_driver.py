@@ -57,6 +57,8 @@ class DistillRunConfig:
     use_wandb: bool = False
     gen_eval_batches: int = 0  # >0: also greedy-decode N eval batches -> MER
     gen_eval_max_tokens: int = 128
+    num_workers: int = 4  # parallel audio-decode threads (0 = inline);
+    # native FLAC decode releases the GIL so threads scale on host cores
 
 
 def run_distillation(
@@ -266,6 +268,7 @@ def run_distillation(
                 yield from train_batches(
                     manifest, tok, prep_cfg, run_cfg.batch_size,
                     seed=run_cfg.seed + epoch, mel_fn=None,
+                    num_workers=run_cfg.num_workers,
                 )
                 epoch += 1
 

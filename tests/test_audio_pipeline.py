@@ -240,3 +240,26 @@ def test_round_timestamp_tokens():
     assert round_timestamp_tokens("<|6.24|>hi<|29.96|>") == "<|6.20|>hi<|30.00|>"
     assert round_timestamp_tokens("<|0.00|>") == "<|0.00|>"
     assert round_timestamp_tokens("plain text") == "plain text"
+
+
+def test_stream_segments_parallel_matches_serial(tmp_path):
+    """num_workers>0 must yield the same segments in the same order."""
+    from taiwan_whisper_tpu.pipeline.dataset import stream_segments
+
+    rng = np.random.RandomState(0)
+    rels = []
+    for j in range(7):
+        dur = 5.0 + j
+        audio = rng.randn(int(dur * 16000)).astype(np.float32) * 0.05
+        utts = [Utterance(0.0, dur / 2, f"甲{j}"), Utterance(dur / 2, dur, f"乙{j}")]
+        rels += segment_audio_file(
+            audio, utts, str(tmp_path), f"lec{j}", audio_format="wav"
+        )
+    man = Manifest(root=str(tmp_path), paths=rels)
+    serial = list(stream_segments(man, "trim"))
+    parallel = list(stream_segments(man, "trim", num_workers=3))
+    assert len(serial) == len(parallel) == len(rels)
+    for a, b in zip(serial, parallel):
+        assert a.transcript == b.transcript
+        assert a.prev_transcript == b.prev_transcript
+        np.testing.assert_array_equal(a.audio, b.audio)
