@@ -74,11 +74,15 @@ def main() -> None:
     # remote execution, so every timed call must materialise its result
     np.asarray(label_chunks(params, audios[0], prefix))
 
-    iters = 4
-    t0 = time.perf_counter()
+    # per-call median: the tunneled chip's throughput drifts between runs
+    # (PERF.md), so the statistic must be robust to stragglers within one
+    iters = 8
+    samples = []
     for i in range(iters):
+        t0 = time.perf_counter()
         np.asarray(label_chunks(params, audios[i % len(audios)], prefix))
-    dt = (time.perf_counter() - t0) / iters
+        samples.append(time.perf_counter() - t0)
+    dt = float(np.median(samples))
 
     audio_seconds = batch * 30.0
     value = audio_seconds / dt

@@ -130,9 +130,10 @@ def greedy_decode(
             nxt = jax.random.categorical(sub, masked / temperature, axis=-1).astype(
                 jnp.int32
             )
-        logprob = jnp.take_along_axis(
-            jax.nn.log_softmax(masked, axis=-1), nxt[:, None], axis=-1
-        )[:, 0]
+        # logprob of the sampled token without materialising a second
+        # [B, V] fp32 log_softmax: gather the chosen logit, subtract lse
+        chosen = jnp.take_along_axis(masked, nxt[:, None], axis=-1)[:, 0]
+        logprob = chosen - jax.nn.logsumexp(masked, axis=-1)
         active = ~s["finished"]
         nxt = jnp.where(active, nxt, eot)
         sum_logprobs = s["sum_logprobs"] + jnp.where(active, logprob, 0.0)

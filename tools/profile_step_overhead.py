@@ -50,9 +50,10 @@ enc = jnp.asarray(
 
 
 def timer(fn, *args, iters=BUDGET):
-    np.asarray(jax.jit(fn)(*args))
+    jitted = jax.jit(fn)
+    np.asarray(jitted(*args))  # compile + warm
     t0 = time.perf_counter()
-    np.asarray(jax.jit(fn)(*args))
+    np.asarray(jitted(*args))
     return (time.perf_counter() - t0) / iters * 1e3
 
 
