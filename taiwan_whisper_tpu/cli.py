@@ -108,6 +108,7 @@ def cmd_distill(args):
         args.manifest, args.teacher, args.output_dir,
         student_dir=args.student,
         student_decoder_layers=args.student_decoder_layers,
+        student_encoder_layers=args.student_encoder_layers,
         run_cfg=DistillRunConfig(
             max_steps=args.max_steps, batch_size=args.batch_size,
             model_parallel=args.model_parallel, save_steps=args.save_steps,
@@ -204,9 +205,13 @@ def cmd_init_student(args):
     layers = ([int(x) for x in args.decoder_layers_numbers.split(",")]
               if args.decoder_layers_numbers else None)
     student = init_student_from_teacher(
-        teacher, tcfg, args.decoder_layers, layers
+        teacher, tcfg, args.decoder_layers, layers,
+        encoder_layers=args.encoder_layers,
     )
-    save_hf_checkpoint(args.out, student, tcfg.with_decoder_layers(args.decoder_layers))
+    scfg = tcfg.with_decoder_layers(args.decoder_layers)
+    if args.encoder_layers is not None:
+        scfg = scfg.with_encoder_layers(args.encoder_layers)
+    save_hf_checkpoint(args.out, student, scfg)
     print(f"[init-student] wrote {args.out}")
 
 
@@ -349,6 +354,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--output_dir", required=True)
     p.add_argument("--student", default=None)
     p.add_argument("--student_decoder_layers", type=int, default=2)
+    p.add_argument("--student_encoder_layers", type=int, default=None,
+                   help="slice the teacher encoder to N max-spaced layers "
+                        "(e.g. the 16-2 variant from large-v2)")
     p.add_argument("--max_steps", type=int, default=120_000)
     p.add_argument("--batch_size", type=int, default=32)
     p.add_argument("--model_parallel", type=int, default=1)
@@ -409,6 +417,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--decoder_layers", type=int, default=2)
     p.add_argument("--decoder_layers_numbers", default=None,
                    help="comma-separated explicit teacher layer indices")
+    p.add_argument("--encoder_layers", type=int, default=None,
+                   help="slice the encoder to N max-spaced teacher layers")
     p.add_argument("--mix_lang_emb", action="store_true")
     p.set_defaults(fn=cmd_init_student)
 

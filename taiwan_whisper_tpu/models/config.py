@@ -51,6 +51,11 @@ class WhisperConfig:
         with ``decoder_layers`` overridden)."""
         return dataclasses.replace(self, decoder_layers=n)
 
+    def with_encoder_layers(self, n: int) -> "WhisperConfig":
+        """Student config with a shrunk encoder (reference:
+        training/create_student_model.py:128-144 ``--encoder_layers``)."""
+        return dataclasses.replace(self, encoder_layers=n)
+
 
 # Canonical model family presets (dimensions from the published Whisper
 # family; the reference loads these via HF `from_pretrained`, e.g.

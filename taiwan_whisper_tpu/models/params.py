@@ -265,9 +265,27 @@ def params_to_hf(params: Params, config: WhisperConfig) -> Dict[str, np.ndarray]
 # ---------------------------------------------------------------------------
 
 def spaced_layer_indices(n_teacher: int, n_student: int) -> List[int]:
-    """Maximally-spaced teacher-layer mapping (reference:
-    training/create_student_model.py:139-154, np.linspace over layers)."""
-    return [int(round(x)) for x in np.linspace(0, n_teacher - 1, n_student)]
+    """Maximally-spaced teacher-layer mapping for student INIT (reference:
+    training/create_student_model.py:139-150 — ``np.linspace(0, L-1, n,
+    dtype=int)`` i.e. truncation, with the last index forced to L-1)."""
+    idx = np.linspace(0, n_teacher - 1, n_student).astype(int).tolist()
+    idx[-1] = n_teacher - 1
+    return idx
+
+
+def layers_to_supervise(n_student: int, n_teacher: int) -> List[int]:
+    """Teacher-layer index supervising each student layer for the MSE
+    hidden-state loss. This is a DIFFERENT mapping from the init one:
+    student layer i emulates the teacher layer at equal increments ending
+    at L-1 and starting at L//n - 1, e.g. (2, 32) -> [15, 31] (reference:
+    flax/run_distillation.py get_layers_to_supervise:971-987)."""
+    idx = (
+        np.linspace(n_teacher // n_student - 1, n_teacher - 1, n_student)
+        .astype(int)
+        .tolist()
+    )
+    idx[-1] = n_teacher - 1
+    return idx
 
 
 def init_student_from_teacher(
@@ -275,17 +293,30 @@ def init_student_from_teacher(
     teacher_config: WhisperConfig,
     decoder_layers: int,
     decoder_layer_indices: Optional[List[int]] = None,
+    encoder_layers: Optional[int] = None,
 ) -> Params:
-    """Build a student: teacher encoder + N decoder layers copied from
-    maximally-spaced teacher decoder layers (or an explicit index list,
-    mirroring --decoder_layers_numbers)."""
+    """Build a student: N decoder layers copied from maximally-spaced
+    teacher decoder layers (or an explicit index list, mirroring
+    --decoder_layers_numbers), plus — when ``encoder_layers`` is given —
+    a shrunk encoder sliced the same way (reference:
+    training/create_student_model.py:139-144,186-191 ``--encoder_layers``;
+    this is how the 16-2 variant is produced from the 32-layer large-v2)."""
     idx = decoder_layer_indices or spaced_layer_indices(
         teacher_config.decoder_layers, decoder_layers
     )
     assert len(idx) == decoder_layers
     take = jnp.asarray(idx, dtype=jnp.int32)
+    encoder = teacher_params["encoder"]
+    if encoder_layers is not None and encoder_layers != teacher_config.encoder_layers:
+        eidx = jnp.asarray(
+            spaced_layer_indices(teacher_config.encoder_layers, encoder_layers),
+            dtype=jnp.int32,
+        )
+        encoder = dict(encoder, layers=jax.tree.map(
+            lambda x: x[eidx], encoder["layers"]
+        ))
     student = {
-        "encoder": jax.tree.map(jnp.array, teacher_params["encoder"]),
+        "encoder": jax.tree.map(jnp.array, encoder),
         "decoder": {
             "embed_tokens": jnp.array(teacher_params["decoder"]["embed_tokens"]),
             "embed_positions": jnp.array(teacher_params["decoder"]["embed_positions"]),

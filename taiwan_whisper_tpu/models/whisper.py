@@ -410,8 +410,8 @@ def _use_pallas_decode(dh: int, opt_in: bool) -> bool:
     already streams cross/self K/V at 620-740 GB/s (76-90% of HBM peak) and
     the int8->bf16 dequant is VPU-bound either way, so the Pallas kernels'
     per-grid-cell overhead makes them 4-6x SLOWER at whisper-base decode
-    shapes. They therefore require explicit opt-in (use_pallas="force") and
-    exist for experimentation on other shapes. Also disabled when the mesh
+    shapes. They therefore require explicit opt-in (``use_pallas=True`` on
+    ``decode_step``) and exist for experimentation on other shapes. Also disabled when the mesh
     tensor-shards heads over ``model`` (pallas_call does not
     auto-partition)."""
     if not opt_in:

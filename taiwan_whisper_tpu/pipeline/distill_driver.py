@@ -68,6 +68,7 @@ def run_distillation(
     *,
     student_dir: Optional[str] = None,
     student_decoder_layers: int = 2,
+    student_encoder_layers: Optional[int] = None,
     run_cfg: DistillRunConfig = DistillRunConfig(),
     dcfg: DistillConfig = DistillConfig(),
     opt_cfg: Optional[OptimConfig] = None,
@@ -95,8 +96,11 @@ def run_distillation(
         student_params, student_cfg = load_model(student_dir)
     else:
         student_cfg = teacher_cfg.with_decoder_layers(student_decoder_layers)
+        if student_encoder_layers is not None:
+            student_cfg = student_cfg.with_encoder_layers(student_encoder_layers)
         student_params = init_student_from_teacher(
-            teacher_params, teacher_cfg, student_decoder_layers
+            teacher_params, teacher_cfg, student_decoder_layers,
+            encoder_layers=student_encoder_layers,
         )
 
     opt_cfg = opt_cfg or OptimConfig(total_steps=run_cfg.max_steps)

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 
 from ..models import whisper as M
 from ..models.config import DtypePolicy, WhisperConfig
-from ..models.params import spaced_layer_indices
+from ..models.params import layers_to_supervise
 
 LABEL_IGNORE = -100
 
@@ -144,10 +144,12 @@ def distill_loss(
         loss = loss + dcfg.kl_weight * kl
         metrics["kl"] = kl
     if need_mse:
-        # maximally-spaced teacher layers supervise student layers
-        # (flax reference get_layers_to_supervise:971-987 + :1681-1718)
-        idx = spaced_layer_indices(
-            teacher_config.decoder_layers, student_config.decoder_layers
+        # equal-increment teacher layers supervise student layers — e.g.
+        # 32->2 supervises with teacher layers [15, 31], NOT the init
+        # mapping [0, 31] (flax reference
+        # get_layers_to_supervise:971-987 + :1681-1718)
+        idx = layers_to_supervise(
+            student_config.decoder_layers, teacher_config.decoder_layers
         )
         t_sel = t_hidden[jnp.asarray(idx)]  # [Ls, B, U, d]
         mask = (labels != LABEL_IGNORE)[None, :, :, None]

@@ -159,10 +159,41 @@ def test_hf_roundtrip(hf_model, jx):
 
 
 def test_student_init_spacing():
-    # reference create_student_model.py:139-154: np.linspace mapping
+    # reference create_student_model.py:139-150: np.linspace(..., dtype=int)
+    # (truncation) with the last index forced to L-1
     assert spaced_layer_indices(32, 2) == [0, 31]
-    assert spaced_layer_indices(32, 4) == [0, 10, 21, 31]
+    assert spaced_layer_indices(32, 4) == [0, 10, 20, 31]
     assert spaced_layer_indices(4, 4) == [0, 1, 2, 3]
+    assert spaced_layer_indices(32, 16) == [
+        0, 2, 4, 6, 8, 10, 12, 14, 16, 18, 20, 22, 24, 26, 28, 31]
+
+
+def test_layers_to_supervise_matches_reference():
+    # reference flax/run_distillation.py get_layers_to_supervise:971-987
+    # docstring example: (student=3, teacher=12) -> {0: 3, 1: 7, 2: 11}
+    from taiwan_whisper_tpu.models.params import layers_to_supervise
+
+    assert layers_to_supervise(3, 12) == [3, 7, 11]
+    assert layers_to_supervise(2, 32) == [15, 31]
+    assert layers_to_supervise(1, 6) == [5]
+
+
+def test_student_init_encoder_slicing(jx):
+    from taiwan_whisper_tpu.models.params import init_student_from_teacher
+
+    cfg, params = jx
+    n = cfg.encoder_layers // 2
+    student = init_student_from_teacher(
+        params, cfg, decoder_layers=1, encoder_layers=n
+    )
+    assert student["encoder"]["layers"]["fc1"]["kernel"].shape[0] == n
+    # first sliced layer is teacher encoder layer 0, last is teacher's last
+    idx = spaced_layer_indices(cfg.encoder_layers, n)
+    for si, ti in enumerate(idx):
+        np.testing.assert_array_equal(
+            np.asarray(student["encoder"]["layers"]["fc1"]["kernel"][si]),
+            np.asarray(params["encoder"]["layers"]["fc1"]["kernel"][ti]),
+        )
 
 
 def test_student_init_copies_layers(jx):
@@ -170,8 +201,9 @@ def test_student_init_copies_layers(jx):
 
     cfg, params = jx
     student = init_student_from_teacher(params, cfg, decoder_layers=1)
-    # layer 0 of student == layer 0 of teacher (linspace(0, L-1, 1) -> [0])
-    t0 = params["decoder"]["layers"]["fc1"]["kernel"][0]
+    # the reference forces mapping[-1] = L-1 (create_student_model.py:147),
+    # so a 1-layer student copies the LAST teacher decoder layer
+    t0 = params["decoder"]["layers"]["fc1"]["kernel"][cfg.decoder_layers - 1]
     s0 = student["decoder"]["layers"]["fc1"]["kernel"][0]
     np.testing.assert_array_equal(np.asarray(t0), np.asarray(s0))
     assert student["decoder"]["layers"]["fc1"]["kernel"].shape[0] == 1

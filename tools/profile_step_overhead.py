@@ -2,14 +2,16 @@
 
 PERF.md: at batch 96 the end-to-end decode step (~derived from bench) runs
 ~4.7 ms while its isolated micro-parts sum to ~2.8 ms. This script times
-three nested compositions, 192 iterations inside one jit each:
+two compositions, 192 iterations inside one jit each:
 
   A. decode_step alone (fori_loop, fixed token, varying index)
-  B. A + the full greedy body bookkeeping (rules, argmax, logprob,
-     token DUS, finished/lengths updates)
-  C. the real greedy_decode while_loop (early-exit cond each step)
+  C. the real greedy_decode while_loop (rules + bookkeeping + early-exit
+     cond each step)
 
-B-A = rule/bookkeeping cost; C-B = while_loop/cond overhead.
+C-A = rule/bookkeeping/while_loop cost. Caveat: with random params C's
+while_loop can emit EOT on every row and exit before BUDGET steps, which
+would deflate its per-step figure — C therefore divides by the realised
+step count (max of the returned lengths), reported alongside.
 """
 
 import json
@@ -82,31 +84,28 @@ def a_steps(enc):
     return acc
 
 
-def c_greedy(enc):
-    crossq, cache, logits0 = setup()
-    res = greedy_decode(
-        params, enc, prefix, config, rules, policy, max_len=max_len,
-        quantize_cross_kv=True,
-    )
-    return res.tokens
-
-
 def c_decode_only(enc):
     res = greedy_decode(
         params, enc, prefix, config, rules, policy, max_len=max_len,
         quantize_cross_kv=True,
     )
-    return res.tokens
+    return res.tokens, res.lengths
 
 
 if __name__ == "__main__":
     t_a = timer(a_steps, enc)
-    t_c = timer(c_decode_only, enc)
+    # realised step count: the while_loop runs until every row finishes, so
+    # per-step cost divides by max(lengths), not BUDGET
+    _, lengths = jax.jit(c_decode_only)(enc)
+    steps_run = int(np.max(np.asarray(lengths)))
+    t_c = timer(c_decode_only, enc, iters=max(steps_run, 1))
     out = {
         "batch": BATCH,
         "A_decode_step_ms": round(t_a, 3),
         "C_full_greedy_ms_per_step": round(t_c, 3),
         "C_minus_A_ms": round(t_c - t_a, 3),
-        "note": "C includes prefill+precompute+quant amortized over 192 steps",
+        "C_steps_run": steps_run,
+        "C_budget": BUDGET,
+        "note": "C includes prefill+precompute+quant amortized over its steps",
     }
     print(json.dumps(out))
