@@ -51,6 +51,7 @@ def cmd_label(args):
             energy_vad_threshold=args.energy_vad_threshold,
             vad_regions=args.vad,
             quantize_kv=args.quantize_kv,
+            num_beams=args.num_beams,
         ),
         tokenizer_dir=args.tokenizer_dir,
     )
@@ -247,12 +248,14 @@ def cmd_transcribe(args):
             res = sequential_decode(
                 params, audio, config, tok,
                 language=language, quantize_cross_kv=args.quantize_kv,
+                num_beams=args.num_beams,
             )
         else:
             res = chunked_decode(
                 params, audio, config, tok,
                 language=language, batch_size=args.batch_size,
                 quantize_cross_kv=args.quantize_kv,
+                num_beams=args.num_beams,
             )
         stem = os.path.splitext(os.path.basename(path))[0]
         cues = [Cue(s.start, s.end, s.text(tok)) for s in res.segments]
@@ -327,6 +330,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="decode only detected speech regions")
     p.add_argument("--quantize_kv", action="store_true",
                    help="int8 cross-KV for ~20%% more decode throughput")
+    p.add_argument("--num_beams", type=int, default=1,
+                   help="beam-search teacher decode (reference labels with "
+                        "beam 5)")
     _add_common(p)
     p.set_defaults(fn=cmd_label)
 
@@ -435,6 +441,7 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["txt", "srt", "vtt", "json"])
     p.add_argument("--batch_size", type=int, default=8)
     p.add_argument("--quantize_kv", action="store_true")
+    p.add_argument("--num_beams", type=int, default=1)
     _add_common(p)
     p.set_defaults(fn=cmd_transcribe)
 

@@ -45,11 +45,17 @@ class BeamResult:
     scores: jnp.ndarray  # [B] length-penalised score of the best hypothesis
     all_tokens: jnp.ndarray  # [B, K, S] hypotheses, best-first
     all_scores: jnp.ndarray  # [B, K]
+    # the long-form fallback ladder's control signals, mirroring
+    # greedy.DecodeResult so sequential/chunked decode can swap strategies
+    lengths: jnp.ndarray  # [B] sampled non-eot tokens of the best hypothesis
+    sum_logprobs: jnp.ndarray  # [B] un-penalised total logprob (incl. eot)
+    no_speech_probs: jnp.ndarray  # [B] P(<|nospeech|>) at the sot position
 
 
 jax.tree_util.register_dataclass(
     BeamResult,
-    data_fields=["tokens", "scores", "all_tokens", "all_scores"],
+    data_fields=["tokens", "scores", "all_tokens", "all_scores",
+                 "lengths", "sum_logprobs", "no_speech_probs"],
     meta_fields=[],
 )
 
@@ -104,9 +110,12 @@ def beam_decode(
         )
     cache = M.init_cache(config, b * k, max_len, dtype=policy.compute_dtype)
     prefix_rep = jnp.repeat(prefix, k, axis=0)
-    logits0, cache, _ = M.prefill(
+    logits0, cache, sot_logits = M.prefill(
         params, cross_kv, cache, prefix_rep, config, policy, aux_index=sot_index
     )
+    # beams are identical at prefill, so the no-speech probe (Whisper paper
+    # §4.5: P(<|nospeech|>) at the sot position) reads one row per batch item
+    no_speech_probs = jax.nn.softmax(sot_logits[::k], axis=-1)[:, rules.no_speech]
 
     tokens = jnp.full((b, k, max_len), eot, jnp.int32)
     tokens = jax.lax.dynamic_update_slice(
@@ -248,9 +257,21 @@ def beam_decode(
     fin_scores = jnp.take_along_axis(rank_scores, order, axis=1)
     fin_seq = _gather_beams(merged_seq, order)
 
+    # alive beams hold only non-eot tokens, so the sampled count of a
+    # hypothesis is its non-eot tail; the un-penalised total logprob inverts
+    # the length penalty at hyp_len = p_len + sampled (the length HF divides
+    # by when the hypothesis enters the set)
+    best = fin_seq[:, 0]
+    lengths = jnp.sum(best[:, p_len:] != eot, axis=-1).astype(jnp.int32)
+    hyp_len = (p_len + lengths).astype(jnp.float32)
+    sum_logprobs = fin_scores[:, 0] * hyp_len**length_penalty
+
     return BeamResult(
-        tokens=fin_seq[:, 0],
+        tokens=best,
         scores=fin_scores[:, 0],
         all_tokens=fin_seq,
         all_scores=fin_scores,
+        lengths=lengths,
+        sum_logprobs=sum_logprobs,
+        no_speech_probs=no_speech_probs,
     )

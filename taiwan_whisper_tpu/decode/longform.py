@@ -26,6 +26,7 @@ from ..audio.mel import N_SAMPLES, SAMPLE_RATE, log_mel, pad_or_trim
 from ..models import whisper as M
 from ..models.config import DtypePolicy, WhisperConfig
 from ..text.tokenizer import TIME_PRECISION, SpecialTokens, WhisperTokenizer
+from .beam import beam_decode
 from .greedy import DecodeResult, greedy_decode
 from .rules import DecodeRules
 
@@ -145,13 +146,20 @@ def sequential_decode(
     mel_fn: Optional[Callable] = None,
     seed: int = 0,
     quantize_cross_kv: bool = False,
+    num_beams: int = 1,
+    length_penalty: float = 1.0,
 ) -> LongformResult:
     """OpenAI-style sequential long-form decode of one audio stream.
 
-    The device function (mel -> encode -> prefilled greedy decode) is jitted
+    The device function (mel -> encode -> prefilled decode) is jitted
     once per prefix length; the host slides the window using timestamp
     arithmetic and runs the temperature-fallback ladder
     (reference controls: run_eval.py:659-676).
+
+    With ``num_beams > 1`` the temperature-0.0 rung runs beam search and the
+    fallback rungs sample, matching faster-whisper/OpenAI semantics
+    (beam_size applies at t=0, best_of sampling above — the teacher decode
+    quality knob of pseudo-labelling/initial_inference.py:84-90).
     """
     special = tokenizer.special
     rules = DecodeRules.from_special(special, timestamps=True)
@@ -166,9 +174,17 @@ def sequential_decode(
     def run_decode(audio_chunk, prefix_arr, temperature, rng, sot_index):
         key = (prefix_arr.shape[1], float(temperature))
         if key not in _cache:
+            use_beam = num_beams > 1 and float(temperature) == 0.0
+
             def fn(audio_chunk, prefix, rng, _t=float(temperature), _si=sot_index):
                 mel = mel_fn(audio_chunk[None])
                 enc = M.encode(params, mel, config, policy)
+                if use_beam:
+                    return beam_decode(
+                        params, enc, prefix, config, rules, policy,
+                        num_beams=num_beams, length_penalty=length_penalty,
+                        sot_index=_si, quantize_cross_kv=quantize_cross_kv,
+                    )
                 return greedy_decode(
                     params, enc, prefix, config, rules, policy,
                     temperature=_t, rng=rng, sot_index=_si,
@@ -299,6 +315,8 @@ def chunked_decode(
     stride_s: Optional[float] = None,
     mel_fn: Optional[Callable] = None,
     quantize_cross_kv: bool = False,
+    num_beams: int = 1,
+    length_penalty: float = 1.0,
 ) -> LongformResult:
     """Batched parallel chunked decode + timestamp-stitch merge.
 
@@ -306,6 +324,11 @@ def chunked_decode(
     non-overlapped core [stride_left, chunk - stride_right); overlapped
     margins belong to the neighbouring chunk (the merge role of
     tokenizer._decode_asr in the reference, pipeline.py:353-375).
+
+    ``num_beams > 1`` decodes every chunk with beam search — the teacher
+    labelling quality setting (reference passes num_beams to generate,
+    training/run_pseudo_labelling.py:858-866; faster-whisper defaults to
+    beam 5, pseudo-labelling/initial_inference.py:84-90).
     """
     special = tokenizer.special
     rules = DecodeRules.from_special(special, timestamps=True)
@@ -322,6 +345,11 @@ def chunked_decode(
     def decode_batch(audio_batch, prefix):
         mel = mel_fn(audio_batch)
         enc = M.encode(params, mel, config, policy)
+        if num_beams > 1:
+            return beam_decode(params, enc, prefix, config, rules, policy,
+                               num_beams=num_beams,
+                               length_penalty=length_penalty,
+                               quantize_cross_kv=quantize_cross_kv)
         return greedy_decode(params, enc, prefix, config, rules, policy,
                              quantize_cross_kv=quantize_cross_kv)
 

@@ -169,12 +169,14 @@ def evaluate_manifest(
                 res = sequential_decode(
                     params, audio, config, tok, policy,
                     language=cfg.language, task=cfg.task,
+                    num_beams=cfg.num_beams,
                 )
             else:
                 res = chunked_decode(
                     params, audio, config, tok, policy,
                     language=cfg.language, task=cfg.task,
                     batch_size=cfg.batch_size,
+                    num_beams=cfg.num_beams,
                 )
             predictions.append(res.text(tok))
 

@@ -41,6 +41,8 @@ class LabelConfig:
     energy_vad_threshold: float = 0.0  # 0 disables; else min RMS to transcribe
     vad_regions: bool = False  # decode only detected speech regions
     quantize_kv: bool = False  # int8 cross-KV (+~20% throughput, near-parity)
+    num_beams: int = 1  # >1: beam-search teacher decode (reference labels
+    # with beam — run_pseudo_labelling.py:858-866, faster-whisper default 5)
 
 
 def energy_vad_is_speech(audio: np.ndarray, threshold: float) -> bool:
@@ -101,11 +103,13 @@ def label_files(
                     batch_size=cfg.batch_size, chunk_s=cfg.chunk_s,
                     stride_s=cfg.stride_s, mel_fn=mel_fn,
                     quantize_cross_kv=cfg.quantize_kv,
+                    num_beams=cfg.num_beams,
                 )
             return sequential_decode(
                 params, span_audio, config, tok, policy,
                 language=cfg.language, task=cfg.task, mel_fn=mel_fn,
                 quantize_cross_kv=cfg.quantize_kv,
+                num_beams=cfg.num_beams,
             )
 
         if cfg.vad_regions:

@@ -234,6 +234,79 @@ def test_chunked_decode_runs():
         assert 0.0 <= s.start <= 51.0
 
 
+def _tiny_cfg_params():
+    from taiwan_whisper_tpu.models.config import WhisperConfig
+    from taiwan_whisper_tpu.models.params import init_params
+    from taiwan_whisper_tpu.text.tokenizer import MULTILINGUAL
+
+    cfg = WhisperConfig(
+        vocab_size=MULTILINGUAL.vocab_size, d_model=64, ffn_dim=128,
+        encoder_layers=1, decoder_layers=1, encoder_attention_heads=4,
+        decoder_attention_heads=4,
+    )
+    return cfg, init_params(cfg, seed=0)
+
+
+def test_chunked_decode_beam_matches_direct_beam():
+    """chunked_decode(num_beams=K) on a single-window input must produce
+    exactly the segments of a direct beam_decode over that window (the
+    labelling beam path, reference run_pseudo_labelling.py:858-866)."""
+    import jax
+    from taiwan_whisper_tpu.decode.beam import beam_decode
+    from taiwan_whisper_tpu.decode.longform import (
+        _tokens_to_segments,
+        chunked_decode,
+    )
+    from taiwan_whisper_tpu.decode.rules import DecodeRules
+    from taiwan_whisper_tpu.models import whisper as M
+    from taiwan_whisper_tpu.models.config import DtypePolicy
+    from taiwan_whisper_tpu.audio.mel import log_mel, pad_or_trim
+    from taiwan_whisper_tpu.text.tokenizer import MULTILINGUAL, WhisperTokenizer
+
+    cfg, params = _tiny_cfg_params()
+    tok = WhisperTokenizer(MULTILINGUAL)
+    fp32 = DtypePolicy.fp32()
+    audio = (np.random.RandomState(2).randn(int(20 * 16000)) * 0.1).astype(np.float32)
+
+    res = chunked_decode(params, audio, cfg, tok, fp32, batch_size=2,
+                         num_beams=2)
+
+    sot = tok.sot_sequence("zh", "transcribe", timestamps=True)
+    rules = DecodeRules.from_special(MULTILINGUAL, timestamps=True)
+    chunk = pad_or_trim(audio, 30 * 16000)
+    mel = log_mel(jnp.asarray(chunk[None]), cfg.num_mel_bins)
+    enc = M.encode(params, mel, cfg, fp32)
+    direct = beam_decode(
+        params, enc, jnp.asarray([sot], np.int32), cfg, rules, fp32,
+        num_beams=2,
+    )
+    toks = np.asarray(direct.tokens)[0]
+    n = int(np.asarray(direct.lengths)[0])
+    sampled = toks[len(sot): len(sot) + n].tolist()
+    want, _, _ = _tokens_to_segments(sampled, MULTILINGUAL, 0.0, 20.0)
+    assert [(s.start, s.end, s.token_ids) for s in res.segments] == [
+        (s.start, s.end, s.token_ids) for s in want
+    ]
+
+
+def test_sequential_decode_beam_runs():
+    from taiwan_whisper_tpu.decode.longform import sequential_decode
+    from taiwan_whisper_tpu.models.config import DtypePolicy
+    from taiwan_whisper_tpu.text.tokenizer import MULTILINGUAL, WhisperTokenizer
+
+    cfg, params = _tiny_cfg_params()
+    tok = WhisperTokenizer(MULTILINGUAL)
+    audio = (np.random.RandomState(3).randn(int(65 * 16000)) * 0.1).astype(np.float32)
+    res = sequential_decode(
+        params, audio, cfg, tok, DtypePolicy.fp32(),
+        temperatures=(0.0,), compression_ratio_threshold=None,
+        logprob_threshold=None, no_speech_threshold=None,
+        num_beams=2,
+    )
+    assert isinstance(res.segments, list)
+    assert res.segments == [] or res.segments[-1].end <= 66.0
+
+
 def test_round_timestamp_tokens():
     from taiwan_whisper_tpu.pipeline.dataset import round_timestamp_tokens
 

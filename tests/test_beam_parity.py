@@ -19,6 +19,38 @@ from test_decode_parity import configs, models, _mel  # noqa: E402,F401
 FP32 = DtypePolicy.fp32()
 
 
+def test_beam_k1_matches_greedy_and_aux_fields(models):
+    """A 1-beam search ranks tokens exactly like greedy argmax (rules are
+    shift-invariant), and the aux fields added for the long-form fallback
+    ladder (lengths, sum_logprobs, no_speech_probs) are self-consistent."""
+    from taiwan_whisper_tpu.decode.greedy import greedy_decode
+
+    model, cfg, params = models
+    mel = _mel(batch=2, seed=13)
+    tok = WhisperTokenizer(MULTILINGUAL)
+    prefix_list = tok.sot_sequence("zh", "transcribe", timestamps=True)
+    prefix = jnp.asarray([prefix_list] * 2, jnp.int32)
+    rules = DecodeRules.from_special(MULTILINGUAL, timestamps=True)
+    enc = M.encode(params, jnp.asarray(mel), cfg, FP32)
+    max_len = len(prefix_list) + 24
+
+    g = greedy_decode(params, enc, prefix, cfg, rules, FP32, max_len=max_len)
+    b = beam_decode(params, enc, prefix, cfg, rules, FP32, num_beams=1,
+                    max_len=max_len, length_penalty=1.0)
+    assert np.asarray(b.tokens).tolist() == np.asarray(g.tokens).tolist()
+    assert np.asarray(b.lengths).tolist() == np.asarray(g.lengths).tolist()
+    np.testing.assert_allclose(
+        np.asarray(b.no_speech_probs), np.asarray(g.no_speech_probs),
+        rtol=1e-5,
+    )
+    # scores invert to sum_logprobs at hyp_len = p_len + sampled
+    hyp_len = len(prefix_list) + np.asarray(b.lengths)
+    np.testing.assert_allclose(
+        np.asarray(b.sum_logprobs), np.asarray(b.scores) * hyp_len,
+        rtol=1e-5,
+    )
+
+
 @pytest.mark.parametrize("timestamps", [False, True])
 @pytest.mark.parametrize("num_beams", [2, 4])
 def test_beam_parity(models, timestamps, num_beams):
