@@ -21,7 +21,7 @@ import jax.numpy as jnp
 
 from ..models import whisper as M
 from ..models.config import DtypePolicy, WhisperConfig
-from .rules import DecodeRules, apply_rules
+from .rules import DecodeRules, apply_rules, greedy_rules_argmax
 
 
 @dataclasses.dataclass
@@ -113,27 +113,38 @@ def greedy_decode(
         penult = jax.lax.dynamic_index_in_dim(
             s["tokens"], jnp.maximum(i - 2, 0), axis=1, keepdims=False
         )
-        masked = apply_rules(
-            s["logits"],
-            step=step,
-            last_token=last,
-            penult_token=penult,
-            last_timestamp=s["last_ts"],
-            rules=rules,
-            suppress=suppress,
-            begin_suppress=begin_suppress,
-        )
         rng, sub = jax.random.split(s["rng"])
         if temperature == 0.0:
-            nxt = jnp.argmax(masked, axis=-1).astype(jnp.int32)
+            # fused rules+argmax+logprob: ~3 passes over [B, V] instead of
+            # ~8 (PERF.md step-sequencing lever)
+            nxt, logprob = greedy_rules_argmax(
+                s["logits"],
+                step=step,
+                last_token=last,
+                penult_token=penult,
+                last_timestamp=s["last_ts"],
+                rules=rules,
+                suppress=suppress,
+                begin_suppress=begin_suppress,
+            )
         else:
+            masked = apply_rules(
+                s["logits"],
+                step=step,
+                last_token=last,
+                penult_token=penult,
+                last_timestamp=s["last_ts"],
+                rules=rules,
+                suppress=suppress,
+                begin_suppress=begin_suppress,
+            )
             nxt = jax.random.categorical(sub, masked / temperature, axis=-1).astype(
                 jnp.int32
             )
-        # logprob of the sampled token without materialising a second
-        # [B, V] fp32 log_softmax: gather the chosen logit, subtract lse
-        chosen = jnp.take_along_axis(masked, nxt[:, None], axis=-1)[:, 0]
-        logprob = chosen - jax.nn.logsumexp(masked, axis=-1)
+            # logprob of the sampled token without materialising a second
+            # [B, V] fp32 log_softmax: gather the chosen logit, subtract lse
+            chosen = jnp.take_along_axis(masked, nxt[:, None], axis=-1)[:, 0]
+            logprob = chosen - jax.nn.logsumexp(masked, axis=-1)
         active = ~s["finished"]
         nxt = jnp.where(active, nxt, eot)
         sum_logprobs = s["sum_logprobs"] + jnp.where(active, logprob, 0.0)

@@ -142,3 +142,105 @@ def apply_rules(
     force_ts = (ts_logprob > max_text)[:, None]
     logits = jnp.where(jnp.logical_and(force_ts, ~is_ts_col), NEG_INF, logits)
     return logits
+
+
+def _rule_mask(
+    *,
+    step,
+    last_token,
+    penult_token,
+    last_timestamp,
+    rules: DecodeRules,
+    suppress,
+    begin_suppress,
+    token_ids,  # [1, V] iota
+):
+    """[B, V] bool — True where rules 1-5 suppress the token. One fused
+    elementwise expression instead of a chain of jnp.where passes."""
+    ts_begin = rules.timestamp_begin
+    is_ts_col = token_ids >= ts_begin  # [1, V]
+    at_begin = step == 0
+
+    mask = suppress[None, :] | (at_begin & begin_suppress[None, :])
+    if not rules.timestamps:
+        return mask
+
+    last_was_ts = jnp.logical_and(step >= 1, last_token >= ts_begin)  # [B]
+    penult_was_ts = jnp.logical_or(step < 2, penult_token >= ts_begin)
+    pair_closed = (last_was_ts & penult_was_ts)[:, None]
+    pair_open = (last_was_ts & ~penult_was_ts)[:, None]
+    mask = mask | (pair_closed & is_ts_col)
+    mask = mask | (pair_open & (token_ids < rules.eot))
+
+    have_ts = (last_timestamp > 0)[:, None]
+    floor = jnp.where(pair_open[:, 0], last_timestamp, last_timestamp + 1)
+    mask = mask | (have_ts & is_ts_col & (token_ids < floor[:, None]))
+
+    mask = mask | (at_begin & ~is_ts_col)
+    if rules.max_initial_timestamp_index is not None:
+        mask = mask | (
+            at_begin & (token_ids > ts_begin + rules.max_initial_timestamp_index)
+        )
+    return mask
+
+
+def greedy_rules_argmax(
+    logits: jnp.ndarray,  # [B, V] fp32
+    *,
+    step: jnp.ndarray,
+    last_token: jnp.ndarray,
+    penult_token: jnp.ndarray,
+    last_timestamp: jnp.ndarray,
+    rules: DecodeRules,
+    suppress: jnp.ndarray,
+    begin_suppress: jnp.ndarray,
+):
+    """Fused rules + argmax + normalised logprob for the greedy decode loop.
+
+    Equivalent to ``apply_rules`` followed by argmax and
+    ``chosen - logsumexp(masked)``, but in ~3 passes over [B, V] instead of
+    ~8 (PERF.md "step-sequencing overhead" lever): rule 6's force-timestamp
+    comparison is shift-invariant, so the full log_softmax it nominally
+    needs reduces to region-wise (max, argmax, logsumexp) over the MASKED
+    logits — text region [0, ts_begin) and timestamp region [ts_begin, V).
+
+    Returns (next_token [B] int32, logprob [B] fp32).
+    """
+    v = rules.vocab_size
+    ts_begin = rules.timestamp_begin
+    token_ids = jax.lax.broadcasted_iota(jnp.int32, (1, v), 1)
+    mask = _rule_mask(
+        step=step, last_token=last_token, penult_token=penult_token,
+        last_timestamp=last_timestamp, rules=rules, suppress=suppress,
+        begin_suppress=begin_suppress, token_ids=token_ids,
+    )
+    masked = jnp.where(mask, NEG_INF, logits)  # [B, V]
+
+    if not rules.timestamps:
+        nxt = jnp.argmax(masked, axis=-1).astype(jnp.int32)
+        chosen = jnp.take_along_axis(masked, nxt[:, None], axis=-1)[:, 0]
+        return nxt, chosen - jax.nn.logsumexp(masked, axis=-1)
+
+    is_ts_col = token_ids >= ts_begin  # [1, V]
+    text = jnp.where(is_ts_col, NEG_INF, masked)
+    tstamp = jnp.where(is_ts_col, masked, NEG_INF)
+    # region maxima/argmaxima and logsumexps (XLA fuses the four reductions
+    # over one read of `masked`; the sum-exp pass re-reads once more)
+    max_text = jnp.max(text, axis=-1)
+    arg_text = jnp.argmax(text, axis=-1).astype(jnp.int32)
+    max_ts = jnp.max(tstamp, axis=-1)
+    arg_ts = jnp.argmax(tstamp, axis=-1).astype(jnp.int32)
+    lse_text = max_text + jnp.log(
+        jnp.sum(jnp.exp(text - max_text[:, None]), axis=-1)
+    )
+    lse_ts = max_ts + jnp.log(
+        jnp.sum(jnp.exp(tstamp - max_ts[:, None]), axis=-1)
+    )
+    # rule 6, shift-invariant form: sum of timestamp probs beats best text
+    force_ts = lse_ts > max_text
+    take_ts = force_ts | (max_ts > max_text)  # argmax tie -> text (lower id)
+    nxt = jnp.where(take_ts, arg_ts, arg_text)
+    chosen = jnp.where(take_ts, max_ts, max_text)
+    lse_all = jnp.logaddexp(lse_text, lse_ts)
+    lse = jnp.where(force_ts, lse_ts, lse_all)
+    return nxt, chosen - lse

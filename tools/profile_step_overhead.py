@@ -53,13 +53,13 @@ enc = jnp.asarray(
 
 def timer(fn, *args, iters=BUDGET):
     jitted = jax.jit(fn)
-    np.asarray(jitted(*args))  # compile + warm
+    jax.device_get(jitted(*args))  # compile + warm (forced host transfer)
     t0 = time.perf_counter()
-    np.asarray(jitted(*args))
+    jax.device_get(jitted(*args))
     return (time.perf_counter() - t0) / iters * 1e3
 
 
-def setup():
+def setup(params, enc):
     cross = M.precompute_cross_kv(params, enc, config, policy)
     crossq = M.quantize_cross_kv(cross)
     cache = M.init_cache(config, BATCH, max_len, dtype=policy.compute_dtype)
@@ -69,8 +69,11 @@ def setup():
     return crossq, cache, logits0
 
 
-def a_steps(enc):
-    crossq, cache, logits0 = setup()
+# params is a jit ARGUMENT everywhere below: closing over it bakes multi-MB
+# weight constants into the program, which the remote-compile tunnel rejects
+# (HTTP 413) and which would skew compile time regardless.
+def a_steps(params, enc):
+    crossq, cache, logits0 = setup(params, enc)
     tok0 = jnp.full((BATCH,), rules.eot, jnp.int32)
 
     def body(i, carry):
@@ -84,7 +87,7 @@ def a_steps(enc):
     return acc
 
 
-def c_decode_only(enc):
+def c_decode_only(params, enc):
     res = greedy_decode(
         params, enc, prefix, config, rules, policy, max_len=max_len,
         quantize_cross_kv=True,
@@ -93,12 +96,12 @@ def c_decode_only(enc):
 
 
 if __name__ == "__main__":
-    t_a = timer(a_steps, enc)
+    t_a = timer(a_steps, params, enc)
     # realised step count: the while_loop runs until every row finishes, so
     # per-step cost divides by max(lengths), not BUDGET
-    _, lengths = jax.jit(c_decode_only)(enc)
+    _, lengths = jax.jit(c_decode_only)(params, enc)
     steps_run = int(np.max(np.asarray(lengths)))
-    t_c = timer(c_decode_only, enc, iters=max(steps_run, 1))
+    t_c = timer(c_decode_only, params, enc, iters=max(steps_run, 1))
     out = {
         "batch": BATCH,
         "A_decode_step_ms": round(t_a, 3),
