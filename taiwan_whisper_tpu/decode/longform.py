@@ -36,6 +36,9 @@ class TranscriptSegment:
     start: float  # absolute seconds
     end: float
     token_ids: List[int]  # text tokens only (no timestamps/specials)
+    # the raw sampled slice including timestamp tokens — what HF keeps in
+    # segment["tokens"] and conditions the next window on
+    raw_token_ids: Optional[List[int]] = None
 
     def text(self, tokenizer: WhisperTokenizer) -> str:
         return tokenizer.decode(self.token_ids, skip_special_tokens=True)
@@ -64,68 +67,96 @@ def _tokens_to_segments(
     """Split a window's sampled tokens into timestamped segments.
 
     Returns (segments, seek_advance_seconds, ended_with_single_timestamp).
-    Mirrors the OpenAI/HF window-consumption rules: segments end at
-    consecutive timestamp pairs; a single trailing timestamp moves the seek
-    to that timestamp; no trailing timestamp consumes the whole window.
+    Token-exact mirror of the OpenAI/HF window-consumption rules
+    (transformers WhisperGenerationMixin._retrieve_segment, which the
+    reference's eval path delegates to via training/run_eval.py:659-676):
+
+    * segment boundaries are CONSECUTIVE timestamp pairs;
+    * a single trailing timestamp ("no speech after it") consumes the WHOLE
+      window — the seek does NOT move back to that timestamp;
+    * with pairs but no single trailing timestamp, the seek advances to the
+      closing timestamp of the last complete segment and trailing tokens are
+      re-decoded in the next window;
+    * with no pairs at all, the whole decoding is one segment and the window
+      is consumed.
     """
+    tokens = list(tokens)
     tb = special.timestamp_begin
     is_ts = [t >= tb for t in tokens]
-    # indices where a timestamp directly follows another timestamp (pair
-    # boundary: first closes a segment, second opens the next)
-    pair_pos = [
-        i for i in range(1, len(tokens)) if is_ts[i] and is_ts[i - 1]
-    ]
     segments: List[TranscriptSegment] = []
 
-    limit = window_offset + window_duration
+    # a single timestamp at the very end means "no speech after it"
+    single_ending = len(tokens) >= 2 and not is_ts[-2] and is_ts[-1]
+    # indices one past each consecutive-timestamp boundary
+    slices = [i + 1 for i in range(len(tokens) - 1) if is_ts[i] and is_ts[i + 1]]
 
-    def emit(start_tok: int, end_tok: int, text_ids: Sequence[int]):
-        # clamp to the true window extent: the model can emit timestamps past
-        # the end of (padded) audio
+    def emit(start_tok: int, end_tok: int, raw: Sequence[int]):
         segments.append(
             TranscriptSegment(
-                start=min(window_offset + special.timestamp_seconds(start_tok), limit),
-                end=min(window_offset + special.timestamp_seconds(end_tok), limit),
-                token_ids=[t for t in text_ids if t < special.eot],
+                start=window_offset + special.timestamp_seconds(start_tok),
+                end=window_offset + special.timestamp_seconds(end_tok),
+                token_ids=[t for t in raw if t < special.eot],
+                raw_token_ids=list(raw),
             )
         )
 
-    if pair_pos:
+    if slices:
+        if single_ending:
+            slices.append(len(tokens))
+        else:
+            # include the duplicated closing timestamp in the last segment
+            slices[-1] += 1
         last_slice = 0
-        for p in pair_pos:
-            seg_toks = tokens[last_slice:p]
-            ts_in = [t for t in seg_toks if t >= tb]
-            if ts_in:
-                emit(ts_in[0], seg_toks[-1] if seg_toks[-1] >= tb else ts_in[-1],
-                     seg_toks)
-            last_slice = p
-        last_ts = tokens[pair_pos[-1] - 1]
-        advance = special.timestamp_seconds(last_ts)
-        # trailing tokens after the final pair are re-decoded next window
+        for i, cur in enumerate(slices):
+            seg = tokens[last_slice:cur]
+            is_last = i == len(slices) - 1
+            start_tok = seg[0] if seg[0] >= tb else tb
+            end_tok = seg[-1] if (not is_last or single_ending) else seg[-2]
+            emit(start_tok, end_tok if end_tok >= tb else tb, seg)
+            last_slice = cur
+        if single_ending:
+            return segments, window_duration, True
+        # seek to the closing timestamp of the last complete segment;
+        # tokens after it are thrown away and re-decoded next window
+        advance = special.timestamp_seconds(tokens[last_slice - 2])
         return segments, max(advance, TIME_PRECISION), False
 
-    # no pair boundary: one segment covering the window
+    # no consecutive timestamps: the whole decoding is one segment and the
+    # window is consumed; its end comes from the last timestamp if present
     ts_in = [t for t in tokens if t >= tb]
-    single_trailing = len(tokens) > 0 and tokens[-1] >= tb and (
-        len(tokens) < 2 or tokens[-2] < tb
-    )
-    if ts_in:
-        start_tok = ts_in[0]
-        if single_trailing:
-            end_tok = tokens[-1]
-            emit(start_tok, end_tok, tokens)
-            return segments, special.timestamp_seconds(end_tok) or window_duration, True
-        end_tok = ts_in[-1]
-        emit(start_tok, end_tok, tokens)
-    elif tokens:
+    end = window_duration
+    if ts_in and ts_in[-1] != tb:
+        end = special.timestamp_seconds(ts_in[-1])
+    if tokens:
         segments.append(
             TranscriptSegment(
                 start=window_offset,
-                end=window_offset + window_duration,
+                end=window_offset + end,
                 token_ids=[t for t in tokens if t < special.eot],
+                raw_token_ids=tokens,
             )
         )
-    return segments, window_duration, False
+    return segments, window_duration, single_ending
+
+
+def _prompt_from_segments(
+    segments: Sequence[TranscriptSegment],
+    special: SpecialTokens,
+    max_prompt_tokens: int,
+) -> List[int]:
+    """Previous-context tokens for condition-on-prev, HF-exact
+    (transformers _pad_to_max_length with skip_ending_double_timestamps):
+    each segment contributes its RAW tokens (timestamps included) minus a
+    duplicated closing timestamp; the concatenation is cut to the last
+    ``max_prompt_tokens`` and prefixed with <|startofprev|>."""
+    tb = special.timestamp_begin
+    out: List[int] = []
+    for s in segments:
+        raw = s.raw_token_ids if s.raw_token_ids is not None else s.token_ids
+        if len(raw) > 2 and raw[-2] >= tb:
+            raw = raw[:-1]  # segment ended with two timestamps: keep one
+        out.extend(raw)
+    return [special.sot_prev] + out[-max_prompt_tokens:]
 
 
 def sequential_decode(
@@ -148,13 +179,24 @@ def sequential_decode(
     quantize_cross_kv: bool = False,
     num_beams: int = 1,
     length_penalty: float = 1.0,
+    tail_pad: str = "zeros",  # "zeros" (HF feature-pad) | "silence" (OpenAI)
 ) -> LongformResult:
-    """OpenAI-style sequential long-form decode of one audio stream.
+    """OpenAI-style sequential long-form decode of one audio stream,
+    segment/seek-exact against HF WhisperGenerationMixin's long-form
+    generate (the engine behind the reference's sequential eval mode,
+    training/run_eval.py:659-676); parity-tested in
+    tests/test_longform_parity.py.
 
-    The device function (mel -> encode -> prefilled decode) is jitted
-    once per prefix length; the host slides the window using timestamp
-    arithmetic and runs the temperature-fallback ladder
-    (reference controls: run_eval.py:659-676).
+    The log-mel is computed ONCE over the whole audio (+30 s zero tail) and
+    windows are sliced in mel-frame domain — both HF and OpenAI seek on
+    frames of the precomputed features, and per-window STFT edge effects
+    would otherwise break token parity. ``mel_fn`` must therefore accept
+    arbitrary-length audio (the default XLA log_mel does; the fixed-30 s
+    Pallas mel kernel is for the batched chunked path).
+
+    The device function (encode -> prefilled decode) is jitted once per
+    (prefix length, temperature) and cached; the host slides the window
+    with timestamp arithmetic and runs the temperature-fallback ladder.
 
     With ``num_beams > 1`` the temperature-0.0 rung runs beam search and the
     fallback rungs sample, matching faster-whisper/OpenAI semantics
@@ -164,20 +206,27 @@ def sequential_decode(
     special = tokenizer.special
     rules = DecodeRules.from_special(special, timestamps=True)
     mel_fn = mel_fn or (lambda a: log_mel(a, config.num_mel_bins))
-    # window length follows the model context (30 s for published models)
-    n_window = config.max_source_positions * 2 * 160
+    n_window_frames = config.max_source_positions * 2  # 3000 for 30 s models
+    frames_per_s = SAMPLE_RATE // 160  # 100
+
+    # feature extraction: one pass over audio + one window of zero padding
+    content_frames = len(audio) // 160
+    padded = np.zeros(
+        (content_frames + n_window_frames) * 160, np.float32
+    )
+    padded[: len(audio)] = audio
+    mel_full = np.asarray(mel_fn(jnp.asarray(padded[None])))  # [1, F, bins]
 
     # jit per (prefix_len, temperature): temperature is a python float baked
     # into the trace, so each ladder rung compiles once and is then cached
     _cache = {}
 
-    def run_decode(audio_chunk, prefix_arr, temperature, rng, sot_index):
+    def run_decode(mel_window, prefix_arr, temperature, rng, sot_index):
         key = (prefix_arr.shape[1], float(temperature))
         if key not in _cache:
             use_beam = num_beams > 1 and float(temperature) == 0.0
 
-            def fn(audio_chunk, prefix, rng, _t=float(temperature), _si=sot_index):
-                mel = mel_fn(audio_chunk[None])
+            def fn(mel, prefix, rng, _t=float(temperature), _si=sot_index):
                 enc = M.encode(params, mel, config, policy)
                 if use_beam:
                     return beam_decode(
@@ -191,48 +240,63 @@ def sequential_decode(
                     quantize_cross_kv=quantize_cross_kv,
                 )
             _cache[key] = jax.jit(fn)
-        return _cache[key](audio_chunk, prefix_arr, rng)
+        return _cache[key](mel_window, prefix_arr, rng)
 
     sot_seq = tokenizer.sot_sequence(language, task, timestamps=True)
-    total = len(audio)
-    seek = 0
+    seek = 0  # in mel frames, like HF/OpenAI
     all_segments: List[TranscriptSegment] = []
-    prompt_tokens: List[int] = []
+    do_condition = False  # becomes True after the first window (if enabled)
     rng = jax.random.PRNGKey(seed)
 
-    while seek < total:
-        window = audio[seek : seek + n_window]
-        window_duration = len(window) / SAMPLE_RATE
-        chunk = pad_or_trim(window.astype(np.float32), n_window)
+    while seek < content_frames:
+        seek_num_frames = min(content_frames - seek, n_window_frames)
+        window_duration = seek_num_frames / frames_per_s
+        window = mel_full[:, seek : seek + n_window_frames]
+        if tail_pad == "zeros" and seek_num_frames < n_window_frames:
+            # HF pads the final feature window with zeros
+            # (_get_input_segment); "silence" keeps the log-mel of the
+            # zero-audio tail instead (OpenAI transcribe.py behavior)
+            window = window.copy()
+            window[:, seek_num_frames:] = 0.0
+        mel_window = jnp.asarray(window)
 
-        if condition_on_prev and prompt_tokens:
-            prefix_list = tokenizer.prompt_ids(prompt_tokens, max_prompt_tokens) + sot_seq
+        if condition_on_prev and do_condition and all_segments:
+            prefix_list = (
+                _prompt_from_segments(all_segments, special, max_prompt_tokens)
+                + sot_seq
+            )
             sot_index = len(prefix_list) - len(sot_seq)
         else:
             prefix_list = list(sot_seq)
             sot_index = 0
         prefix_arr = jnp.asarray([prefix_list], jnp.int32)
+        budget = config.max_target_positions - len(prefix_list)
 
-        chosen: Optional[DecodeResult] = None
         chosen_tokens: List[int] = []
+        chosen_temperature = 0.0
         for temperature in temperatures:
             rng, sub = jax.random.split(rng)
-            res = run_decode(chunk, prefix_arr, temperature, sub, sot_index)
+            res = run_decode(mel_window, prefix_arr, temperature, sub, sot_index)
             toks = np.asarray(res.tokens)[0]
             n_sampled = int(np.asarray(res.lengths)[0])
             sampled = toks[len(prefix_list) : len(prefix_list) + n_sampled].tolist()
-            avg_logprob = float(np.asarray(res.sum_logprobs)[0]) / (n_sampled + 1)
+            finished = n_sampled < budget  # <|endoftext|> was emitted
+            # HF averages over sampled tokens INCLUDING the eos when present
+            n_scored = min(n_sampled + 1, budget)
+            avg_logprob = float(np.asarray(res.sum_logprobs)[0]) / max(n_scored, 1)
+            chosen_temperature = float(temperature)
 
             needs_fallback = False
             if compression_ratio_threshold is not None:
-                if tokenizer.vocab is not None:
-                    text = tokenizer.decode(sampled, skip_special_tokens=True)
-                    ratio = _compression_ratio(text.encode("utf-8"))
-                else:
-                    ratio = _compression_ratio(
-                        np.asarray(sampled, np.int32).tobytes()
-                    )
-                if ratio > compression_ratio_threshold:
+                # HF compresses the raw token BYTES (2 bytes/token for the
+                # whisper vocab), eos included — not the decoded text
+                # (transformers _retrieve_compression_ratio)
+                byte_len = int(np.log2(special.vocab_size) / 8) + 1
+                scored = sampled + ([special.eot] if finished else [])
+                token_bytes = b"".join(
+                    int(t).to_bytes(byte_len, "little") for t in scored
+                )
+                if _compression_ratio(token_bytes) > compression_ratio_threshold:
                     needs_fallback = True
             if logprob_threshold is not None and avg_logprob < logprob_threshold:
                 needs_fallback = True
@@ -242,27 +306,27 @@ def sequential_decode(
                 and (logprob_threshold is None or avg_logprob < logprob_threshold)
             ):
                 # confident silence: skip the window entirely
-                chosen = res
                 chosen_tokens = []
                 break
-            chosen = res
             chosen_tokens = sampled
             if not needs_fallback:
                 break
 
+        # prompt-reset rule: only low-temperature output conditions the next
+        # window (HF: condition_on_prev_tokens and temperature < 0.5)
+        do_condition = condition_on_prev and chosen_temperature < 0.5
+
         if not chosen_tokens:
-            seek += n_window
+            seek += seek_num_frames
             continue
 
         segments, advance_s, _ = _tokens_to_segments(
-            chosen_tokens, special, seek / SAMPLE_RATE, window_duration
+            chosen_tokens, special, seek / frames_per_s, window_duration
         )
         all_segments.extend(segments)
-        prompt_tokens.extend(
-            t for t in chosen_tokens if t < special.eot
-        )
-        prompt_tokens = prompt_tokens[-max_prompt_tokens:]
-        seek += max(int(advance_s * SAMPLE_RATE), SAMPLE_RATE // 2)
+        advance_frames = int(round(advance_s * frames_per_s))
+        # guard (beyond HF): a degenerate zero-advance pair must not hang
+        seek += advance_frames if advance_frames > 0 else seek_num_frames
 
     return LongformResult(segments=all_segments)
 

@@ -172,6 +172,7 @@ def encode(
     *,
     freeze_embed_positions: bool = True,
     use_pallas: bool = True,
+    remat: bool = True,
 ) -> jnp.ndarray:
     """Encoder forward: conv stem -> +sinusoid positions -> N layers -> LN.
 
@@ -180,6 +181,9 @@ def encode(
     encoder itself is differentiated (the Pallas kernel defines no VJP;
     frozen-encoder training instead stop-gradients the encoder params, so
     inference and frozen training keep the kernel).
+    ``remat=False`` drops the jax.checkpoint on the scanned layer body —
+    right for inference and for frozen (stop-gradient) training paths,
+    where rematerialisation buys nothing.
     """
     p = params["encoder"]
     dtype = policy.compute_dtype
@@ -206,7 +210,7 @@ def encode(
         x = shard(x, "batch", "length", "embed")
         return x, None
 
-    x, _ = jax.lax.scan(jax.checkpoint(layer), x, p["layers"])
+    x, _ = jax.lax.scan(jax.checkpoint(layer) if remat else layer, x, p["layers"])
     x = _layer_norm(p["ln_post"], x)
     return x.astype(dtype)
 
@@ -224,6 +228,7 @@ def decode_train(
     *,
     attention_mask: Optional[jnp.ndarray] = None,  # [B, U] bool, True=keep
     output_hidden_states: bool = False,
+    remat: bool = True,
 ) -> jnp.ndarray:
     """Full-sequence decoder forward, returns fp32 logits [B, U, vocab].
 
@@ -265,7 +270,7 @@ def decode_train(
         x = shard(x, "batch", "length", "embed")
         return x, (x if output_hidden_states else None)
 
-    x, hiddens = jax.lax.scan(jax.checkpoint(layer), x, p["layers"])
+    x, hiddens = jax.lax.scan(jax.checkpoint(layer) if remat else layer, x, p["layers"])
     x = _layer_norm(p["ln_post"], x)
     logits = _lm_head(params["decoder"]["embed_tokens"], x, dtype)
     logits = shard(logits, "batch", "length", "vocab")

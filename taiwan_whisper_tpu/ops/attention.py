@@ -8,6 +8,19 @@ enough that K/V for one (batch, head) fit comfortably in VMEM
 scores, fp32 softmax and the PV matmul all stay on-chip, eliminating the
 [B, H, S, S] HBM round trip XLA would materialise between the two matmuls.
 
+The kernel is VPU-bound (softmax over [BQ, S] fp32 scores; the MXU dots are
+~2 us/cell while softmax passes dominate), so every elementwise pass over
+the score matrix is engineered away:
+
+* the 1/sqrt(d) scale is folded into q OUTSIDE the kernel ([B,S,H,D] is
+  24x smaller than the score matrix at S=1500);
+* padded key columns are masked by ADDING a precomputed [1, S_pad] bias row
+  (0 / -inf) — one fused add instead of iota+compare+select passes;
+* the softmax denominator rides the MXU: V is extended with a ones column
+  (D=64 -> 128 lanes, which the PV matmul left half-idle anyway), so
+  sum(exp) appears as output column D and the normalising division runs on
+  the [BQ, D] output, never on [BQ, S].
+
 Falls back to the XLA einsum path off-TPU or for unaligned shapes
 (models/whisper.py chooses per-call).
 """
@@ -26,27 +39,28 @@ _Q_BLOCK = 128
 _NEG = float(np.finfo(np.float32).min)
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, s_real):
+def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref):
     # dot in the input dtype (bf16 on TPU -> full-rate MXU; an fp32 upcast
-    # here measured ~6x slower) with fp32 accumulation; the 1/sqrt(d) scale
-    # applies to the fp32 scores, preserving numerics
+    # here measured ~6x slower) with fp32 accumulation. q arrives pre-scaled.
     q = q_ref[0]  # [BQ, D]
     k = k_ref[0]  # [S_pad, D]
     scores = jax.lax.dot_general(
         q, k,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ) * scale  # [BQ, S_pad] fp32
-    s_pad = scores.shape[-1]
-    if s_real < s_pad:
-        col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
-        scores = jnp.where(col < s_real, scores, _NEG)
-    probs = jax.nn.softmax(scores, axis=-1)
-    o_ref[0] = jax.lax.dot_general(
-        probs.astype(v_ref.dtype), v_ref[0],
+    )  # [BQ, S_pad] fp32
+    scores = scores + bias_ref[0]  # -inf on padded key columns
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    e = jnp.exp(scores - m)  # unnormalised probabilities in [0, 1]
+    # PV with the denominator as extra output column(s): v_ref is [S_pad,
+    # 2D] = [V | ones | 0...]; column D of the product is sum(e).
+    out = jax.lax.dot_general(
+        e.astype(v_ref.dtype), v_ref[0],
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ).astype(o_ref.dtype)
+    )  # [BQ, 2D] fp32
+    d = q.shape[-1]
+    o_ref[0] = (out[:, :d] / out[:, d:d + 1]).astype(o_ref.dtype)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -60,25 +74,41 @@ def encoder_attention(
     v: jnp.ndarray,
     *,
     interpret: bool = False,
-    q_block: int = _Q_BLOCK,
+    q_block: int = 0,
 ) -> jnp.ndarray:
-    """Non-causal multi-head attention, q-scaled inside. [B,S,H,D] -> same."""
+    """Non-causal multi-head attention, q-scaled inside. [B,S,H,D] -> same.
+
+    ``q_block=0`` auto-selects the largest block (fewest grid cells, fewest
+    K/V VMEM re-streams): 512 measured fastest at both whisper-base and
+    large-v2 shapes (PERF.md).
+    """
     b, s, h, d = q.shape
+    if q_block == 0:
+        q_block = 512 if s >= 512 else _Q_BLOCK
     scale = d ** -0.5
     s_pad = _round_up(s, q_block)
     dtype = q.dtype
 
-    def to_flat(x):
+    def to_flat(x, pad_cols: int = 0):
         x = jnp.transpose(x, (0, 2, 1, 3)).reshape(b * h, s, d)
-        if s_pad != s:
-            x = jnp.pad(x, ((0, 0), (0, s_pad - s), (0, 0)))
+        if s_pad != s or pad_cols:
+            x = jnp.pad(x, ((0, 0), (0, s_pad - s), (0, pad_cols)))
         return x
 
-    qf, kf, vf = to_flat(q), to_flat(k), to_flat(v)
+    qf = to_flat(q * jnp.asarray(scale, q.dtype))
+    kf = to_flat(k)
+    # V extended to 2D lanes: [V | ones | zeros] — the ones column turns the
+    # PV matmul into PV + softmax-denominator in one MXU pass
+    vf = to_flat(v, pad_cols=d)
+    vf = vf.at[:, :s, d].set(jnp.asarray(1.0, dtype))
+    # additive key-column mask: 0 on real columns, -inf on padding
+    bias = jnp.where(
+        jax.lax.broadcasted_iota(jnp.int32, (1, s_pad), 1) < s, 0.0, _NEG
+    ).astype(jnp.float32)
 
     grid = (b * h, s_pad // q_block)
     out = pl.pallas_call(
-        functools.partial(_attn_kernel, scale=scale, s_real=s),
+        _attn_kernel,
         out_shape=jax.ShapeDtypeStruct((b * h, s_pad, d), dtype),
         grid=grid,
         in_specs=[
@@ -86,7 +116,9 @@ def encoder_attention(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, s_pad, d), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s_pad, d), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((1, s_pad, 2 * d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s_pad), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, q_block, d), lambda i, j: (i, j, 0),
@@ -97,7 +129,7 @@ def encoder_attention(
             transcendentals=b * h * s_pad * s_pad,
         ),
         interpret=interpret,
-    )(qf, kf, vf)
+    )(qf, kf, vf, bias)
 
     out = out[:, :s].reshape(b, h, s, d)
     return jnp.transpose(out, (0, 2, 1, 3))

@@ -105,9 +105,12 @@ def label_files(
                     quantize_cross_kv=cfg.quantize_kv,
                     num_beams=cfg.num_beams,
                 )
+            # no mel_fn: sequential_decode computes the full-file mel once
+            # and needs arbitrary-length support (the fixed-30 s Pallas mel
+            # kernel only fits the chunked path)
             return sequential_decode(
                 params, span_audio, config, tok, policy,
-                language=cfg.language, task=cfg.task, mel_fn=mel_fn,
+                language=cfg.language, task=cfg.task,
                 quantize_cross_kv=cfg.quantize_kv,
                 num_beams=cfg.num_beams,
             )

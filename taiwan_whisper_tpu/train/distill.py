@@ -43,6 +43,11 @@ class DistillConfig:
     temperature: float = 2.0
     mse_weight: float = 0.0
     freeze_encoder: bool = True
+    # rematerialise the student decoder's scanned layer body in the backward
+    # pass. Off by default: the flagship student decoder is 2 layers, whose
+    # activations fit HBM easily — remat would only re-run the forward.
+    # Enable for deep-student fine-tuning at long label lengths.
+    remat_student: bool = False
 
 
 def masked_cross_entropy(
@@ -103,8 +108,10 @@ def distill_loss(
         enc_params = dict(
             student_params, encoder=jax.lax.stop_gradient(student_params["encoder"])
         )
+        # remat=False: nothing differentiates through the frozen encoder, so
+        # checkpointing the scan body is pure overhead (VERDICT r1 lever)
         enc = jax.lax.stop_gradient(
-            M.encode(enc_params, mel, student_config, policy)
+            M.encode(enc_params, mel, student_config, policy, remat=False)
         )
     else:
         enc = M.encode(student_params, mel, student_config, policy,
@@ -116,7 +123,7 @@ def distill_loss(
     need_teacher = dcfg.kl_weight > 0.0 or need_mse
     s_out = M.decode_train(
         student_params, enc, dec_in, student_config, policy,
-        output_hidden_states=need_mse,
+        output_hidden_states=need_mse, remat=dcfg.remat_student,
     )
     if need_mse:
         s_logits, s_hidden = s_out
@@ -124,9 +131,10 @@ def distill_loss(
         s_logits, s_hidden = s_out, None
     t_logits = t_hidden = None
     if need_teacher:
+        # teacher forward is stop-gradient: no remat
         t_out = M.decode_train(
             teacher_params, enc, dec_in, teacher_config, policy,
-            output_hidden_states=need_mse,
+            output_hidden_states=need_mse, remat=False,
         )
         if need_mse:
             t_logits, t_hidden = jax.lax.stop_gradient(t_out)
