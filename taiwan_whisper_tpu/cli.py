@@ -309,6 +309,16 @@ def cmd_make_manifest(args):
         print(f"[manifest] train={len(m)}")
 
 
+def cmd_collect_hallucinations(args):
+    from .pipeline.audit import collect_hallucinations
+
+    collect_hallucinations(
+        args.original_tsv, args.cleaned_tsv, args.hyp_tsv, args.output_dir,
+        num_samples=args.num_samples, seed=args.seed,
+        filter_csv=args.filter_csv, copy_audio=not args.no_audio,
+    )
+
+
 def build_parser() -> argparse.ArgumentParser:
     # @file support: `cli distill @configs/distill_32_2.args` reads one
     # argument per line — the role of the reference's per-experiment shell
@@ -457,6 +467,26 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--extra", nargs=argparse.REMAINDER, default=[],
                    help="extra argv appended to every run")
     p.set_defaults(fn=cmd_sweep)
+
+    p = sub.add_parser(
+        "collect-hallucinations",
+        help="sample N prefilter-dropped chunks for human audit "
+             "(reference utils/collect_hallucinations.py)",
+    )
+    p.add_argument("--original_tsv", required=True,
+                   help="manifest BEFORE the prefilter")
+    p.add_argument("--cleaned_tsv", required=True,
+                   help="non-hallucinated manifest written by `prefilter`")
+    p.add_argument("--hyp_tsv", nargs="+", required=True,
+                   help="validator idx\\thyp file(s), per-rank shards ok")
+    p.add_argument("--output_dir", required=True)
+    p.add_argument("--num_samples", type=int, default=1000)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--filter_csv", default=None,
+                   help="hallucination_result.csv for per-row MER + reason")
+    p.add_argument("--no_audio", action="store_true",
+                   help="skip copying audio files")
+    p.set_defaults(fn=cmd_collect_hallucinations)
 
     p = sub.add_parser("make-manifest", help="build fairseq-style TSVs")
     p.add_argument("--root", required=True)
