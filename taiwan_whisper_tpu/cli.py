@@ -49,7 +49,8 @@ def cmd_label(args):
             language=args.language, strategy=args.strategy,
             batch_size=args.batch_size,
             energy_vad_threshold=args.energy_vad_threshold,
-            vad_regions=args.vad,
+            vad_regions=args.vad_mode != "off",
+            vad_mode=args.vad_mode,
             quantize_kv=args.quantize_kv,
             num_beams=args.num_beams,
         ),
@@ -336,8 +337,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--strategy", default="chunked", choices=["chunked", "sequential"])
     p.add_argument("--batch_size", type=int, default=16)
     p.add_argument("--energy_vad_threshold", type=float, default=0.0)
-    p.add_argument("--vad", action="store_true",
-                   help="decode only detected speech regions")
+    p.add_argument("--vad_mode", default="spectral",
+                   choices=["spectral", "energy", "off"],
+                   help="region-gated decode: spectral (default; rejects "
+                        "music/noise), energy (RMS only), off (whole file)")
     p.add_argument("--quantize_kv", action="store_true",
                    help="int8 cross-KV for ~20%% more decode throughput")
     p.add_argument("--num_beams", type=int, default=1,

@@ -36,10 +36,19 @@ class LabelConfig:
     task: str = "transcribe"
     strategy: str = "chunked"  # | sequential
     batch_size: int = 16
-    chunk_s: float = 30.0
-    stride_s: float = 5.0
+    # None: derive from the model context (30 s for real Whisper configs;
+    # chunked_decode defaults chunk to max_source_positions and stride to
+    # chunk/6, the reference's ratio)
+    chunk_s: Optional[float] = None
+    stride_s: Optional[float] = None
     energy_vad_threshold: float = 0.0  # 0 disables; else min RMS to transcribe
-    vad_regions: bool = False  # decode only detected speech regions
+    # region-gated decode is ON by default, matching the reference's
+    # use_vad_model=True (initial_inference.py:84-90): only detected speech
+    # regions reach the teacher. "spectral" (default) is the model-grade gate
+    # that also rejects music/steady noise (pipeline/vad.py); "energy" is the
+    # RMS-only gate; "off" decodes the whole file.
+    vad_regions: bool = True
+    vad_mode: str = "spectral"  # | energy | off
     quantize_kv: bool = False  # int8 cross-KV (+~20% throughput, near-parity)
     num_beams: int = 1  # >1: beam-search teacher decode (reference labels
     # with beam — run_pseudo_labelling.py:858-866, faster-whisper default 5)
@@ -115,13 +124,13 @@ def label_files(
                 num_beams=cfg.num_beams,
             )
 
-        if cfg.vad_regions:
+        if cfg.vad_regions and cfg.vad_mode != "off":
             # decode only detected speech, shifting timestamps back to the
             # original timeline (the role of faster-whisper's VAD in stage 1)
-            from .vad import speech_regions
+            from .vad import detect_speech_regions
 
             segs = []
-            for a, b_ in speech_regions(audio):
+            for a, b_ in detect_speech_regions(audio, cfg.vad_mode):
                 span = audio[int(a * 16000) : int(b_ * 16000)]
                 r = decode_span(span)
                 for s in r.segments:

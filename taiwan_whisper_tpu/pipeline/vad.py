@@ -1,12 +1,31 @@
-"""Energy-based voice activity detection (VAD-lite).
+"""Voice activity detection: spectral speech/music/noise gate + energy VAD.
 
 The reference's stage 1 leans on faster-whisper's bundled VAD model
 (pseudo-labelling/initial_inference.py:84-90, use_vad_model=True) to skip
-silence before transcription. This is a dependency-free equivalent: frame
-RMS energies with an adaptive noise floor, hysteresis thresholds and
-min-duration/merge smoothing. It feeds the labelling driver (skip silent
-files/regions) and complements the on-device no-speech probe
-(decode/greedy.py no_speech_probs).
+non-speech before transcription. Two dependency-free equivalents live here:
+
+* **Spectral VAD** (default for labelling): a model-grade gate built on the
+  classic speech/music discrimination features (Scheirer & Slaney 1997):
+  - syllabic modulation ratio — fraction of the sub-band log-energy
+    envelope's modulation spectrum in the 2-8 Hz band. Speech is amplitude-
+    modulated at syllable rate (~4 Hz); sustained music and steady noise are
+    not (measured on synthetic fixtures: speech 0.69-0.76, noisy speech
+    0.61, music 0.35-0.38, white/pink noise ~0.30).
+  - spectral flatness over the 200-6800 Hz band — geometric/arithmetic mean
+    ratio of the power spectrum. Broadband noise is flat (white 0.56, pink
+    0.39); voiced speech and music are strongly harmonic (<0.01; speech
+    under pink noise 0.18).
+  Blocks of 1 s at 0.25 s hop are classified with hysteresis on the
+  modulation ratio, gated by flatness and an adaptive energy floor, then
+  smoothed into regions. This rejects the music/steady-noise segments the
+  pure energy VAD passes — on lecture audio those are wasted teacher
+  compute and hallucination fuel.
+
+* **Energy VAD** (`speech_regions`): frame RMS with an adaptive noise floor
+  and hysteresis — cheap gate for obviously-silent material.
+
+Both feed the labelling driver (pipeline/label.py) and complement the
+on-device no-speech probe (decode/greedy.py no_speech_probs).
 """
 
 from __future__ import annotations
@@ -80,15 +99,28 @@ def speech_regions(
     if in_speech:
         regions.append((start, len(e)))
 
-    # frames -> seconds, pad, merge, filter
-    out: List[Tuple[float, float]] = []
     total_s = len(audio) / SAMPLE_RATE
-    for s, t in regions:
-        a = max(s * hop_s - cfg.pad_s, 0.0)
-        b = min(t * hop_s + cfg.pad_s, total_s)
-        if b - a < cfg.min_speech_s:
+    spans = [(s * hop_s, t * hop_s) for s, t in regions]
+    return _smooth_regions(spans, total_s, cfg.pad_s, cfg.min_speech_s,
+                           cfg.min_silence_s)
+
+
+def _smooth_regions(
+    spans: List[Tuple[float, float]],
+    total_s: float,
+    pad_s: float,
+    min_speech_s: float,
+    min_silence_s: float,
+) -> List[Tuple[float, float]]:
+    """Pad each raw (start_s, end_s) span, merge near neighbours, drop
+    too-short regions."""
+    out: List[Tuple[float, float]] = []
+    for a, b in spans:
+        a = max(a - pad_s, 0.0)
+        b = min(b + pad_s, total_s)
+        if b - a < min_speech_s:
             continue
-        if out and a - out[-1][1] < cfg.min_silence_s:
+        if out and a - out[-1][1] < min_silence_s:
             out[-1] = (out[-1][0], b)
         else:
             out.append((a, b))
@@ -115,3 +147,159 @@ def extract_speech(
         audio[int(a * SAMPLE_RATE) : int(b * SAMPLE_RATE)] for a, b in regions
     ]
     return np.concatenate(parts).astype(np.float32), regions
+
+
+# ---------------------------------------------------------------------------
+# Spectral VAD (speech vs music vs noise)
+# ---------------------------------------------------------------------------
+
+_N_FFT, _WIN, _HOP = 512, 400, 160  # 25 ms window / 10 ms hop @ 16 kHz
+_N_ENV_BANDS = 16
+
+
+@dataclasses.dataclass
+class SpectralVadConfig:
+    """Thresholds calibrated on synthetic fixtures (module docstring):
+    speech sits at mod_ratio >= 0.61 even under pink noise; sustained music
+    <= 0.38; broadband noise flatness >= 0.39 vs <= 0.18 for speech."""
+
+    block_s: float = 1.0
+    hop_s: float = 0.25
+    mod_ratio_enter: float = 0.50
+    mod_ratio_exit: float = 0.44
+    # speech is confirmed only after this many consecutive blocks pass the
+    # enter test: music onsets (chord attacks) produce isolated blocks above
+    # mod_ratio_enter but never sustained runs
+    confirm_blocks: int = 3
+    flatness_max: float = 0.30
+    # energy gates: adaptive floor like the energy VAD plus an absolute one;
+    # abs_speech_db caps the adaptive threshold so continuously-voiced audio
+    # (no silence for the floor percentile to land on) still passes
+    enter_db_above_floor: float = 6.0
+    floor_percentile: float = 10.0
+    abs_floor_db: float = -65.0
+    abs_speech_db: float = -40.0
+    min_speech_s: float = 0.3
+    min_silence_s: float = 0.5
+    pad_s: float = 0.25
+
+
+def _spectral_frame_features(
+    audio: np.ndarray, chunk_frames: int = 8192
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """One STFT pass in bounded memory -> per-frame (energy_db [T],
+    flatness [T], env [T, 16]): flatness over the 200-6800 Hz speech band,
+    env = log energy in 16 equal sub-bands of that band (the modulation
+    carrier)."""
+    audio = np.asarray(audio, np.float32)
+    n_frames = max(1 + (len(audio) - _WIN) // _HOP, 1)
+    window = np.hanning(_WIN).astype(np.float32)
+    freqs = np.fft.rfftfreq(_N_FFT, 1.0 / SAMPLE_RATE)
+    band = np.flatnonzero((freqs >= 200) & (freqs <= 6800))
+    edges = np.linspace(0, len(band), _N_ENV_BANDS + 1).astype(int)
+    eps = 1e-10
+
+    energy_db = np.empty(n_frames, np.float32)
+    flatness = np.empty(n_frames, np.float32)
+    env = np.empty((n_frames, _N_ENV_BANDS), np.float32)
+    for s in range(0, n_frames, chunk_frames):
+        e = min(s + chunk_frames, n_frames)
+        idx = s * _HOP + np.arange(e - s)[:, None] * _HOP + np.arange(_WIN)
+        frames = np.zeros((e - s, _WIN), np.float32)
+        valid = np.minimum(idx, len(audio) - 1)
+        frames = np.where(idx < len(audio), audio[valid], 0.0)
+        spec = np.fft.rfft(frames * window, _N_FFT, axis=1)
+        p = (spec.real ** 2 + spec.imag ** 2).astype(np.float32)
+        energy_db[s:e] = 10.0 * np.log10(p.mean(1) + eps)
+        pb = p[:, band]
+        flatness[s:e] = np.exp(np.mean(np.log(pb + eps), 1)) / (pb.mean(1) + eps)
+        for b in range(_N_ENV_BANDS):
+            env[s:e, b] = np.log(pb[:, edges[b]:edges[b + 1]].mean(1) + eps)
+    return energy_db, flatness, env
+
+
+def spectral_block_scores(
+    audio: np.ndarray, cfg: SpectralVadConfig = SpectralVadConfig()
+) -> dict:
+    """Per-block diagnostics: {"t", "mod_ratio", "flatness", "energy_db"}
+    (numpy arrays, one entry per cfg.hop_s starting at t)."""
+    energy_db, flatness, env = _spectral_frame_features(audio)
+    T = env.shape[0]
+    fpb = max(int(cfg.block_s * SAMPLE_RATE / _HOP), 4)
+    hop = max(int(cfg.hop_s * SAMPLE_RATE / _HOP), 1)
+    fpb = min(fpb, T)
+    n_blocks = max((T - fpb) // hop + 1, 1)
+
+    def blocked(x):  # [T, ...] -> [NB, fpb, ...] strided view
+        shape = (n_blocks, fpb) + x.shape[1:]
+        strides = (x.strides[0] * hop,) + x.strides
+        return np.lib.stride_tricks.as_strided(x, shape, strides)
+
+    env_b = blocked(env)  # [NB, fpb, 16]
+    env_b = env_b - env_b.mean(axis=1, keepdims=True)
+    mod = np.abs(np.fft.rfft(env_b, axis=1)) ** 2  # [NB, F, 16]
+    mf = np.fft.rfftfreq(fpb, _HOP / SAMPLE_RATE)
+    syl = mod[:, (mf >= 2) & (mf <= 8)].sum(axis=(1, 2))
+    tot = mod[:, (mf >= 0.5) & (mf <= 25)].sum(axis=(1, 2)) + 1e-10
+    return {
+        "t": np.arange(n_blocks) * hop * _HOP / SAMPLE_RATE,
+        "mod_ratio": (syl / tot).astype(np.float32),
+        "flatness": np.median(blocked(flatness), axis=1),
+        "energy_db": blocked(energy_db).mean(axis=1),
+    }
+
+
+def spectral_speech_regions(
+    audio: np.ndarray, cfg: SpectralVadConfig = SpectralVadConfig()
+) -> List[Tuple[float, float]]:
+    """(start_s, end_s) speech regions; music/steady-noise blocks rejected."""
+    total_s = len(audio) / SAMPLE_RATE
+    if total_s <= 0:
+        return []
+    sc = spectral_block_scores(audio, cfg)
+    floor = float(np.percentile(sc["energy_db"], cfg.floor_percentile))
+    enter = max(min(floor + cfg.enter_db_above_floor, cfg.abs_speech_db),
+                cfg.abs_floor_db)
+    energy_ok = sc["energy_db"] > enter
+    tonal = sc["flatness"] <= cfg.flatness_max
+
+    spans: List[Tuple[float, float]] = []
+    in_speech = False
+    start = 0.0
+    enter_run = 0
+    for i, t in enumerate(sc["t"]):
+        mod = sc["mod_ratio"][i]
+        ok = bool(energy_ok[i] and tonal[i])
+        if not in_speech:
+            if ok and mod >= cfg.mod_ratio_enter:
+                enter_run += 1
+                if enter_run >= cfg.confirm_blocks:
+                    in_speech = True
+                    start = float(sc["t"][i - enter_run + 1])
+            else:
+                enter_run = 0
+        else:
+            enter_run = 0
+            if not ok or mod < cfg.mod_ratio_exit:
+                spans.append((start, float(t) + cfg.hop_s))
+                in_speech = False
+    if in_speech:
+        spans.append((start, total_s))
+    # a block covers [t, t + block_s); extend each span to block end
+    spans = [(a, min(b + cfg.block_s - cfg.hop_s, total_s)) for a, b in spans]
+    return _smooth_regions(spans, total_s, cfg.pad_s, cfg.min_speech_s,
+                           cfg.min_silence_s)
+
+
+def detect_speech_regions(
+    audio: np.ndarray, mode: str = "spectral"
+) -> List[Tuple[float, float]]:
+    """Unified entry for the labelling driver: mode in
+    {"spectral", "energy", "off"} ("off" -> whole file is one region)."""
+    if mode == "spectral":
+        return spectral_speech_regions(audio)
+    if mode == "energy":
+        return speech_regions(audio)
+    if mode == "off":
+        return [(0.0, len(audio) / SAMPLE_RATE)] if len(audio) else []
+    raise ValueError(f"unknown vad mode {mode!r}")

@@ -105,7 +105,9 @@ def test_full_pipeline(tmp_path, model_dirs, byte_tokenizer_dir):
     label_dir = tmp_path / "labels"
     stats = run_labelling(
         str(raw_manifest), str(model_dirs / "teacher"), str(label_dir),
-        LabelConfig(strategy="sequential", batch_size=2),
+        # vad off: the synthetic noise audio is (correctly) not speech to
+        # the default spectral VAD; this test exercises the decode plumbing
+        LabelConfig(strategy="sequential", batch_size=2, vad_mode="off"),
         tokenizer_dir=byte_tokenizer_dir,
     )
     assert (label_dir / "lec1.csv").exists() and (label_dir / "lec2.csv").exists()
