@@ -42,10 +42,29 @@ from ..utils.prefetch import prefetch
 from .dataset import TrainPrepConfig, train_batches
 
 
+def _gather_to_host(tree, mesh):
+    """Materialise a (possibly model-sharded) param pytree on every host.
+
+    Under multi-process TP some shards live on other hosts' devices, so a
+    plain device_get would fail; an out_shardings=replicated jit inserts the
+    allgather on device (the role NCCL gather plays in the reference's
+    accelerator.save_state path). process_allgather is NOT suitable here:
+    it stacks fully-addressable (replicated) leaves along a new axis."""
+    if jax.process_count() == 1:
+        return jax.device_get(tree)
+    rep = NamedSharding(mesh, P())
+    replicated = jax.jit(
+        lambda t: t, out_shardings=jax.tree.map(lambda _: rep, tree)
+    )(tree)
+    return jax.device_get(replicated)
+
+
 @dataclasses.dataclass
 class DistillRunConfig:
     max_steps: int = 120_000
-    batch_size: int = 32  # per host
+    batch_size: int = 32  # GLOBAL batch: every host builds the identical
+    # batch from the shared manifest (deterministic seed) and device_put
+    # scatters it over the mesh's data axis — no per-rank files to merge
     model_parallel: int = 1
     save_steps: int = 1000
     eval_steps: int = 1000
@@ -140,6 +159,10 @@ def run_distillation(
     logger = MetricsLogger(output_dir, use_wandb=run_cfg.use_wandb)
 
     manifest = read_manifest(train_manifest_path)
+    if not manifest.paths:
+        # an empty manifest (e.g. an over-aggressive prefilter) would make
+        # the epoch stream spin forever — fail loudly instead
+        raise ValueError(f"empty train manifest: {train_manifest_path}")
 
     need_teacher = dcfg.kl_weight > 0.0 or dcfg.mse_weight > 0.0
     with use_mesh(mesh):
@@ -321,10 +344,15 @@ def run_distillation(
                 run_eval(step)
             if step % run_cfg.save_steps == 0 or step == run_cfg.max_steps:
                 ckpt.save(step, {"params": student_s, "opt_state": opt_state})
-                save_hf_checkpoint(
-                    os.path.join(output_dir, "hf_export"),
-                    jax.device_get(student_s), student_cfg,
-                )
+                # model-sharded params are not host-addressable under
+                # multi-process TP: allgather before the host-side export,
+                # and only rank 0 writes the shared file
+                host_params = _gather_to_host(student_s, mesh)
+                if jax.process_index() == 0:
+                    save_hf_checkpoint(
+                        os.path.join(output_dir, "hf_export"),
+                        host_params, student_cfg,
+                    )
         for s, h in old_handlers.items():
             signal.signal(s, h)
         logger.close()

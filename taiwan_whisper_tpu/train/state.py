@@ -127,16 +127,34 @@ class CheckpointManager:
                 steps.append(int(m.group(1)))
         return sorted(steps)
 
+    @staticmethod
+    def _barrier(name: str):
+        import jax
+
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices(name)
+
     def save(self, step: int, state: Dict[str, Any], keep: bool = False):
+        """All processes must call (orbax writes each host's shards); the
+        shared-directory mutations (rmtree, .keep, rotation) are rank-0-only
+        with barriers so no rank races another's write."""
+        import jax
+
         path = self._path(step)
         if os.path.exists(path):
             # re-saving the same step must not demote a protected checkpoint
             keep = keep or os.path.exists(os.path.join(path, ".keep"))
-            shutil.rmtree(path)
+            if jax.process_index() == 0:
+                shutil.rmtree(path)
+            self._barrier(f"ckpt_clear_{step}")
         self._ckptr.save(path, state)
-        if keep:  # mark as protected from rotation (best checkpoint)
-            open(os.path.join(path, ".keep"), "w").close()
-        self._rotate()
+        if jax.process_index() == 0:
+            if keep:  # mark as protected from rotation (best checkpoint)
+                open(os.path.join(path, ".keep"), "w").close()
+            self._rotate()
+        self._barrier(f"ckpt_done_{step}")
 
     def _rotate(self):
         if self.save_total_limit is None:

@@ -21,14 +21,24 @@ class MetricsLogger:
         wandb_project: str = "taiwan-whisper-tpu",
         run_name: Optional[str] = None,
     ):
+        # only rank 0 owns the shared metrics file / wandb run — other hosts
+        # log to stdout only (the reference gates on
+        # accelerator.is_main_process the same way)
+        is_main = True
+        try:
+            import jax
+
+            is_main = jax.process_index() == 0
+        except Exception:  # pragma: no cover - jax always present in practice
+            pass
         self._jsonl = None
-        if output_dir:
+        if output_dir and is_main:
             os.makedirs(output_dir, exist_ok=True)
             self._jsonl = open(
                 os.path.join(output_dir, "metrics.jsonl"), "a", encoding="utf-8"
             )
         self._wandb = None
-        if use_wandb:
+        if use_wandb and is_main:
             try:  # pragma: no cover - wandb optional
                 import wandb
 

@@ -42,6 +42,9 @@ labels = jnp.asarray(rng.randint(0, 50000, (B, U)).astype(np.int32))
 
 
 def timed(fn, *args):
+    """Time fn in an in-jit fori_loop. Params must be passed through *args —
+    closing over them captures multi-GB constants into the jaxpr (the
+    lowering then dies on large-v2)."""
     @jax.jit
     def loop(*a):
         def body(i, acc):
@@ -53,23 +56,23 @@ def timed(fn, *args):
     return round((time.perf_counter() - t0) / ITERS * 1e3, 1)
 
 
-enc = jax.jit(lambda m: M.encode(student, m, student_cfg, policy))(mel)
+enc = jax.jit(lambda p, m: M.encode(p, m, student_cfg, policy))(student, mel)
 
 res = {"preset": preset, "batch": B}
 res["encode_fwd_ms"] = timed(
-    lambda i, m: jnp.sum(
-        M.encode(student, m + i * 1e-9, student_cfg, policy)[:, 0, 0]
-    ).astype(jnp.float32), mel)
+    lambda i, p, m: jnp.sum(
+        M.encode(p, m + i * 1e-9, student_cfg, policy)[:, 0, 0]
+    ).astype(jnp.float32), student, mel)
 res["teacher_dec_fwd_ms"] = timed(
-    lambda i, e: jnp.sum(
-        M.decode_train(teacher, e + i * jnp.bfloat16(1e-9), dec_in,
+    lambda i, p, e: jnp.sum(
+        M.decode_train(p, e + i * jnp.bfloat16(1e-9), dec_in,
                        teacher_cfg, policy)[:, 0, 0]
-    ).astype(jnp.float32), enc)
+    ).astype(jnp.float32), teacher, enc)
 res["student_dec_fwd_ms"] = timed(
-    lambda i, e: jnp.sum(
-        M.decode_train(student, e + i * jnp.bfloat16(1e-9), dec_in,
+    lambda i, p, e: jnp.sum(
+        M.decode_train(p, e + i * jnp.bfloat16(1e-9), dec_in,
                        student_cfg, policy)[:, 0, 0]
-    ).astype(jnp.float32), enc)
+    ).astype(jnp.float32), student, enc)
 
 
 def stu_loss(p, e):
@@ -80,11 +83,11 @@ def stu_loss(p, e):
 
 grad = jax.grad(lambda p, i, e: stu_loss(p, e + i * jnp.bfloat16(1e-9)))
 res["student_dec_fwd_bwd_ms"] = timed(
-    lambda i, e: jax.tree.leaves(grad(student, i, e))[0].sum().astype(jnp.float32),
-    enc)
+    lambda i, p, e: jax.tree.leaves(grad(p, i, e))[0].sum().astype(jnp.float32),
+    student, enc)
 
-t_logits = jax.jit(lambda e: M.decode_train(teacher, e, dec_in, teacher_cfg, policy))(enc)
-s_logits = jax.jit(lambda e: M.decode_train(student, e, dec_in, student_cfg, policy))(enc)
+t_logits = jax.jit(lambda p, e: M.decode_train(p, e, dec_in, teacher_cfg, policy))(teacher, enc)
+s_logits = jax.jit(lambda p, e: M.decode_train(p, e, dec_in, student_cfg, policy))(student, enc)
 res["ce_kl_ms"] = timed(
     lambda i, t, s: (
         masked_cross_entropy(s + i * 1e-9, labels)[0]
