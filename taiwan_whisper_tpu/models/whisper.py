@@ -106,9 +106,9 @@ def _self_attn_block(p: Params, x: jnp.ndarray, n_heads: int, mask, dtype,
     k = shard(k, "batch", "length", "heads", "kv")
     v = shard(v, "batch", "length", "heads", "kv")
     if mask is None and use_pallas and _use_pallas_attention(q.shape):
-        from ..ops.attention import encoder_attention
+        from ..ops.attention import best_encoder_attention
 
-        out = encoder_attention(q, k, v)
+        out = best_encoder_attention(q, k, v)
     else:
         out = _attention(q, k, v, mask, dtype)
     return _dense(p["out"], _merge_heads(out), dtype)
