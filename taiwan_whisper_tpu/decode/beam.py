@@ -87,7 +87,7 @@ def beam_decode(
     max_len: Optional[int] = None,
     length_penalty: float = 1.0,
     sot_index: int = 0,
-    quantize_cross_kv: int = 0,  # 0/False off; True/8 int8; 4 int4 cross-KV
+    quantize_cross_kv=0,  # 0/False off; True/8 int8; 4 int4; "fp8" e4m3
     scan_unroll: int = 0,  # decoder layer-scan unroll; 0 = auto
 ) -> BeamResult:
     b, p_len = prefix.shape
@@ -106,7 +106,8 @@ def beam_decode(
     cross_kv = M.precompute_cross_kv(params, enc_rep, config, policy)
     if quantize_cross_kv:
         cross_kv = M.quantize_cross_kv(
-            cross_kv, bits=4 if quantize_cross_kv == 4 else 8
+            cross_kv,
+            bits=quantize_cross_kv if quantize_cross_kv in (4, "fp8") else 8,
         )
     cache = M.init_cache(config, b * k, max_len, dtype=policy.compute_dtype)
     prefix_rep = jnp.repeat(prefix, k, axis=0)

@@ -55,7 +55,7 @@ def greedy_decode(
     rng: Optional[jax.Array] = None,
     sot_index: int = 0,  # position of <|startoftranscript|> in prefix
     valid_from: Optional[jnp.ndarray] = None,  # [B] for left-padded prompts
-    quantize_cross_kv: int = 0,  # 0/False off; True/8 int8; 4 int4 cross-KV
+    quantize_cross_kv=0,  # 0/False off; True/8 int8; 4 int4; "fp8" e4m3
     scan_unroll: int = 0,  # decoder layer-scan unroll; 0 = auto (PERF.md:
     # full unroll for shallow decoders measured -28% step time on chip)
 ) -> DecodeResult:
@@ -74,7 +74,8 @@ def greedy_decode(
     cross_kv = M.precompute_cross_kv(params, enc_out, config, policy)
     if quantize_cross_kv:
         cross_kv = M.quantize_cross_kv(
-            cross_kv, bits=4 if quantize_cross_kv == 4 else 8
+            cross_kv,
+            bits=quantize_cross_kv if quantize_cross_kv in (4, "fp8") else 8,
         )
     cache = M.init_cache(config, b, max_len, dtype=policy.compute_dtype)
     logits0, cache, sot_logits = M.prefill(

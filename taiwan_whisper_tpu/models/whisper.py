@@ -375,26 +375,33 @@ jax.tree_util.register_dataclass(
 )
 
 
-def quantize_cross_kv(cross_kv, bits: int = 8) -> QuantCrossKV:
-    """Symmetric per-channel int8/int4 quantization over the time axis.
+def quantize_cross_kv(cross_kv, bits=8) -> QuantCrossKV:
+    """Symmetric per-channel int8/int4/fp8 quantization over the time axis.
 
     int8 halves the dominant HBM stream of the decode loop (PERF.md);
     int4 (native jnp.int4 packed storage) quarters it at some accuracy
     cost — validate WER before enabling on a production labelling run.
+    ``bits="fp8"`` stores float8_e4m3fn at the same byte width as int8 but
+    with a hardware cast path on the dequant (no round/clip pass) and
+    per-channel scaling into fp8's full 448 range.
     """
     k, v = cross_kv
     if bits == 8:
         qmax, store = 127.0, jnp.int8
     elif bits == 4:
         qmax, store = 7.0, jnp.int4
+    elif bits == "fp8":
+        qmax, store = 448.0, jnp.float8_e4m3fn
     else:
-        raise ValueError(f"bits must be 8 or 4, got {bits}")
+        raise ValueError(f"bits must be 8, 4 or 'fp8', got {bits}")
 
     def q(x):
         m = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=2, keepdims=True)
         scale = m / qmax + 1e-12
-        xq = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -qmax, qmax)
-        return xq.astype(store), scale.astype(jnp.float32)
+        xs = x.astype(jnp.float32) / scale
+        if bits != "fp8":  # fp8's cast rounds natively; ints need round+clip
+            xs = jnp.clip(jnp.round(xs), -qmax, qmax)
+        return xs.astype(store), scale.astype(jnp.float32)
 
     kq, ks = q(k)
     vq, vs = q(v)

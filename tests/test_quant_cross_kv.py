@@ -60,6 +60,33 @@ def test_int4_quantized_step_logits_close():
     assert np.abs(a - b).max() / denom < 0.25, np.abs(a - b).max() / denom
 
 
+def test_fp8_quantized_step_logits_close():
+    cfg, params, enc = _setup()
+    cross = M.precompute_cross_kv(params, enc, cfg, FP32)
+    crossq = M.quantize_cross_kv(cross, bits="fp8")
+    assert crossq.k_q.dtype == jnp.float8_e4m3fn
+    cache_a = M.init_cache(cfg, 2, 16, jnp.float32)
+    cache_b = M.init_cache(cfg, 2, 16, jnp.float32)
+    tok = jnp.full((2,), MULTILINGUAL.sot, jnp.int32)
+    la, _ = M.decode_step(params, cross, cache_a, tok, jnp.int32(0), cfg, FP32)
+    lb, _ = M.decode_step(params, crossq, cache_b, tok, jnp.int32(0), cfg, FP32)
+    a, b = np.asarray(la), np.asarray(lb)
+    denom = np.abs(a).max()
+    # e4m3 has ~3 mantissa bits: coarser than int8's per-channel 7-bit grid
+    assert np.abs(a - b).max() / denom < 0.06, np.abs(a - b).max() / denom
+    assert (a.argmax(-1) == b.argmax(-1)).all()
+
+
+def test_fp8_greedy_decode_runs():
+    cfg, params, enc = _setup()
+    tok = WhisperTokenizer(MULTILINGUAL)
+    rules = DecodeRules.from_special(MULTILINGUAL)
+    prefix = jnp.asarray([tok.sot_sequence("zh")] * 2, jnp.int32)
+    out = greedy_decode(params, enc, prefix, cfg, rules, FP32, max_len=32,
+                        quantize_cross_kv="fp8")
+    assert out.tokens.shape == (2, 32)
+
+
 def test_int4_greedy_decode_runs():
     cfg, params, enc = _setup()
     tok = WhisperTokenizer(MULTILINGUAL)

@@ -15,7 +15,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from taiwan_whisper_tpu.ops.attention import encoder_attention
+from taiwan_whisper_tpu.ops.attention import (
+    encoder_attention,
+    encoder_attention_flash,
+)
 
 ITERS = 16
 
@@ -60,6 +63,12 @@ for name, (b, s, h, d) in [("base-b64", (64, 1500, 8, 64)),
             ).astype(jnp.float32), q, k, v)
         res[f"pallas_qb{qb}_ms"] = round(t_pal * 1e3, 2)
         res[f"pallas_qb{qb}_tflops"] = round(flops / t_pal / 1e12, 1)
+    t_fl = timed(
+        lambda i, q, k, v: jnp.sum(
+            encoder_attention_flash(q + i * jnp.bfloat16(1e-9), k, v)[:, 0, 0, 0]
+        ).astype(jnp.float32), q, k, v)
+    res["flash_ms"] = round(t_fl * 1e3, 2)
+    res["flash_tflops"] = round(flops / t_fl / 1e12, 1)
     t_xla = timed(
         lambda i, q, k, v: jnp.sum(
             xla_attn(q + i * jnp.bfloat16(1e-9), k, v)[:, 0, 0, 0]
