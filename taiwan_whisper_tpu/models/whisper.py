@@ -332,12 +332,14 @@ def precompute_cross_kv(
     params: Params, enc_out: jnp.ndarray, config: WhisperConfig,
     policy: DtypePolicy = DtypePolicy(),
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Cross-attention K/V for all layers: [L, B, T_enc, H, Dh] pair.
+    """Cross-attention K/V for all layers: [L, B, H, Dh, T_enc] pair.
 
     Computed once per utterance; the decode loop then never touches enc_out.
-    The time-major layout measured fastest end-to-end (PERF.md: a head-major
-    [L,B,H,T,Dh] variant built for the Pallas decode kernels cost ~7% of
-    labelling throughput on the XLA einsum path and was reverted).
+    TIME-MINOR layout, same convention as the self cache: TPU tiles the two
+    minor dims to (8,128)-multiples, so any layout ending in Dh=64 pads 2x
+    in HBM — measured on chip as a bf16[L,B,T,H,64] buffer at exactly 2.0x
+    expansion in the XLA memory dump (PERF.md round 3). With T minor the
+    pad is 1500->1536 (~2.4%), halving the decode loop's dominant stream.
     """
     dtype = policy.compute_dtype
     n_heads = config.decoder_attention_heads
@@ -346,7 +348,9 @@ def precompute_cross_kv(
     def one_layer(_, lp):
         k = _split_heads(_dense(lp["cross_attn"]["k"], enc, dtype), n_heads)
         v = _split_heads(_dense(lp["cross_attn"]["v"], enc, dtype), n_heads)
-        return None, (k, v)
+        # [B, T, H, Dh] -> [B, H, Dh, T]
+        return None, (jnp.transpose(k, (0, 2, 3, 1)),
+                      jnp.transpose(v, (0, 2, 3, 1)))
 
     _, (ks, vs) = jax.lax.scan(one_layer, None, params["decoder"]["layers"])
     return ks, vs
@@ -362,8 +366,8 @@ class QuantCrossKV:
     only per-step extra work is the int8->bf16 cast fused into the dots.
     """
 
-    k_q: jnp.ndarray  # [L, B, T, H, Dh] int8
-    k_scale: jnp.ndarray  # [L, B, 1, H, Dh] fp32
+    k_q: jnp.ndarray  # [L, B, H, Dh, T] int8/int4/fp8 (time-minor)
+    k_scale: jnp.ndarray  # [L, B, H, Dh, 1] fp32
     v_q: jnp.ndarray
     v_scale: jnp.ndarray
 
@@ -396,7 +400,8 @@ def quantize_cross_kv(cross_kv, bits=8) -> QuantCrossKV:
         raise ValueError(f"bits must be 8, 4 or 'fp8', got {bits}")
 
     def q(x):
-        m = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=2, keepdims=True)
+        # reduce over the (minor) time axis: per-(layer,batch,head,channel)
+        m = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=4, keepdims=True)
         scale = m / qmax + 1e-12
         xs = x.astype(jnp.float32) / scale
         if bits != "fp8":  # fp8's cast rounds natively; ints need round+clip
@@ -444,15 +449,17 @@ def _use_pallas_decode(dh: int, opt_in: bool) -> bool:
 
 
 def _cross_attention(q, cross_slice, dtype, use_pallas: bool = False):
-    """q [B, Sq, H, Dh] against one layer's cross K/V [B, T, H, Dh]
-    (plain bf16 or int8 QuantCrossKV slices)."""
+    """q [B, Sq, H, Dh] against one layer's cross K/V [B, H, Dh, T]
+    (time-minor; plain bf16 or quantized QuantCrossKV slices)."""
     dh = q.shape[-1]
     scale = dh ** -0.5
     if len(cross_slice) == 4:
         kq, ks, vq, vs = cross_slice
-        # fold 1/sqrt(d) and the K scale ([B,1,H,Dh]) into q (fp32, one
-        # cast); the int8 K/V cast to compute dtype inside the dots
-        qs = (q.astype(jnp.float32) * scale * ks).astype(dtype)
+        # fold 1/sqrt(d) and the K scale ([B,H,Dh,1] -> [B,1,H,Dh]) into q
+        # (fp32, one cast); the quantized K/V cast to compute dtype inside
+        # the dots
+        ks_q = jnp.transpose(ks, (0, 3, 1, 2))
+        qs = (q.astype(jnp.float32) * scale * ks_q).astype(dtype)
     else:
         kq, vq = cross_slice
         vs = None
@@ -463,21 +470,21 @@ def _cross_attention(q, cross_slice, dtype, use_pallas: bool = False):
         # the experimental kernel wants head-major contiguous [B,H,T,Dh]
         att = cross_decode_attention(
             qs[:, 0],
-            jnp.transpose(kq, (0, 2, 1, 3)),
-            jnp.transpose(vq, (0, 2, 1, 3)),
+            jnp.transpose(kq, (0, 1, 3, 2)),
+            jnp.transpose(vq, (0, 1, 3, 2)),
         )[:, None]  # [B,1,H,Dh] f32
     else:
         logits = jnp.einsum(
-            "bqhd,bkhd->bhqk", qs, kq.astype(dtype),
+            "bqhd,bhdt->bhqt", qs, kq.astype(dtype),
             preferred_element_type=jnp.float32,
         )
         probs = jax.nn.softmax(logits, axis=-1).astype(dtype)
         att = jnp.einsum(
-            "bhqk,bkhd->bqhd", probs, vq.astype(dtype),
+            "bhqt,bhdt->bqhd", probs, vq.astype(dtype),
             preferred_element_type=jnp.float32,
         )
     if vs is not None:
-        att = att.astype(jnp.float32) * vs
+        att = att.astype(jnp.float32) * jnp.transpose(vs, (0, 3, 1, 2))
     return att.astype(dtype)
 
 

@@ -28,6 +28,8 @@ from taiwan_whisper_tpu.models.params import init_params
 BATCH = int(os.environ.get("B", "96"))
 BUDGET = 192
 UNROLL = 6
+# QUANT: "8" int8 (default), "4" int4, "fp8", "0" plain bf16 cross-KV
+QUANT = os.environ.get("QUANT", "8")
 
 config = get_config("base")
 policy = DtypePolicy.bf16()
@@ -103,7 +105,12 @@ def step_variant(ablate: str):
 
     def fn(params, enc):
         cross = M.precompute_cross_kv(params, enc, config, policy)
-        crossq = M.quantize_cross_kv(cross)
+        if QUANT == "0":
+            crossq = cross
+        else:
+            crossq = M.quantize_cross_kv(
+                cross, bits=int(QUANT) if QUANT.isdigit() else QUANT
+            )
         cache = M.init_cache(config, BATCH, max_len, dtype=policy.compute_dtype)
         tok0 = jnp.zeros((BATCH,), jnp.int32)
 
@@ -137,9 +144,11 @@ def timer(fn):
 
 
 if __name__ == "__main__":
+    names = os.environ.get(
+        "VARIANTS", "full,no_cross,no_self,no_mlp,no_head,no_commit,embeds_only"
+    ).split(",")
     results = {}
-    for name in ["full", "no_cross", "no_self", "no_mlp", "no_head",
-                 "no_commit", "embeds_only"]:
+    for name in names:
         results[name] = round(timer(step_variant(name)), 3)
     full = results["full"]
     insitu = {
@@ -150,4 +159,6 @@ if __name__ == "__main__":
         "commit_ms": round(full - results["no_commit"], 3),
         "residual_ms": round(results["embeds_only"], 3),
     }
-    print(json.dumps({"batch": BATCH, "raw": results, "insitu": insitu}))
+    print(json.dumps(
+        {"batch": BATCH, "quant": QUANT, "raw": results, "insitu": insitu}
+    ))
