@@ -150,15 +150,14 @@ if __name__ == "__main__":
     results = {}
     for name in names:
         results[name] = round(timer(step_variant(name)), 3)
-    full = results["full"]
-    insitu = {
-        "cross_ms": round(full - results["no_cross"], 3),
-        "self_ms": round(full - results["no_self"], 3),
-        "mlp_ms": round(full - results["no_mlp"], 3),
-        "head_ms": round(full - results["no_head"], 3),
-        "commit_ms": round(full - results["no_commit"], 3),
-        "residual_ms": round(results["embeds_only"], 3),
-    }
+    full = results.get("full")
+    insitu = {}
+    if full is not None:
+        for abl in ["no_cross", "no_self", "no_mlp", "no_head", "no_commit"]:
+            if abl in results:
+                insitu[abl[3:] + "_ms"] = round(full - results[abl], 3)
+        if "embeds_only" in results:
+            insitu["residual_ms"] = round(results["embeds_only"], 3)
     print(json.dumps(
         {"batch": BATCH, "quant": QUANT, "raw": results, "insitu": insitu}
     ))
