@@ -103,12 +103,14 @@ def beam_decode(
 
     # replicate encoder state over beams once
     enc_rep = jnp.repeat(enc_out, k, axis=0)  # [B*K, T, d]
-    cross_kv = M.precompute_cross_kv(params, enc_rep, config, policy)
-    if quantize_cross_kv:
-        cross_kv = M.quantize_cross_kv(
-            cross_kv,
-            bits=quantize_cross_kv if quantize_cross_kv in (4, "fp8") else 8,
-        )
+    # quantization fused into the per-layer precompute scan (PERF.md r3:
+    # whole-tensor quantization OOMs v5e at large-v2 beam-5 shapes)
+    cross_kv = M.precompute_cross_kv(
+        params, enc_rep, config, policy,
+        quantize=(quantize_cross_kv
+                  if quantize_cross_kv in (4, "fp8") else 8)
+        if quantize_cross_kv else 0,
+    )
     cache = M.init_cache(config, b * k, max_len, dtype=policy.compute_dtype)
     prefix_rep = jnp.repeat(prefix, k, axis=0)
     logits0, cache, sot_logits = M.prefill(

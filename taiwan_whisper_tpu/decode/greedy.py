@@ -71,12 +71,14 @@ def greedy_decode(
     suppress = jnp.asarray(rules.suppress_mask())
     begin_suppress = jnp.asarray(rules.begin_suppress_mask())
 
-    cross_kv = M.precompute_cross_kv(params, enc_out, config, policy)
-    if quantize_cross_kv:
-        cross_kv = M.quantize_cross_kv(
-            cross_kv,
-            bits=quantize_cross_kv if quantize_cross_kv in (4, "fp8") else 8,
-        )
+    # quantization fused into the per-layer precompute scan: avoids an
+    # O(full-KV) fp32 temp that OOMs v5e at large-v2 shapes (PERF.md r3)
+    cross_kv = M.precompute_cross_kv(
+        params, enc_out, config, policy,
+        quantize=(quantize_cross_kv
+                  if quantize_cross_kv in (4, "fp8") else 8)
+        if quantize_cross_kv else 0,
+    )
     cache = M.init_cache(config, b, max_len, dtype=policy.compute_dtype)
     logits0, cache, sot_logits = M.prefill(
         params, cross_kv, cache, prefix, config, policy,

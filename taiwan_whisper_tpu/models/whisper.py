@@ -331,8 +331,11 @@ def init_cache(
 def precompute_cross_kv(
     params: Params, enc_out: jnp.ndarray, config: WhisperConfig,
     policy: DtypePolicy = DtypePolicy(),
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Cross-attention K/V for all layers: [L, B, H, Dh, T_enc] pair.
+    *,
+    quantize=0,  # 0/False plain; 8 int8; 4 int4; "fp8" e4m3
+):
+    """Cross-attention K/V for all layers: [L, B, H, Dh, T_enc] pair
+    (or a QuantCrossKV when ``quantize`` is set).
 
     Computed once per utterance; the decode loop then never touches enc_out.
     TIME-MINOR layout, same convention as the self cache: TPU tiles the two
@@ -340,6 +343,10 @@ def precompute_cross_kv(
     in HBM — measured on chip as a bf16[L,B,T,H,64] buffer at exactly 2.0x
     expansion in the XLA memory dump (PERF.md round 3). With T minor the
     pad is 1500->1536 (~2.4%), halving the decode loop's dominant stream.
+
+    Quantizing INSIDE the per-layer scan keeps the fp32 quantization
+    transient at 1/L of the whole tensor — quantizing large-v2 beam-5 KV
+    after the fact OOMs v5e (a [32,40,20,64,1500] fp32 temp is ~29 GB).
     """
     dtype = policy.compute_dtype
     n_heads = config.decoder_attention_heads
@@ -349,11 +356,19 @@ def precompute_cross_kv(
         k = _split_heads(_dense(lp["cross_attn"]["k"], enc, dtype), n_heads)
         v = _split_heads(_dense(lp["cross_attn"]["v"], enc, dtype), n_heads)
         # [B, T, H, Dh] -> [B, H, Dh, T]
-        return None, (jnp.transpose(k, (0, 2, 3, 1)),
-                      jnp.transpose(v, (0, 2, 3, 1)))
+        k = jnp.transpose(k, (0, 2, 3, 1))
+        v = jnp.transpose(v, (0, 2, 3, 1))
+        if quantize:
+            kq, ks = _quantize_kv_slice(k, quantize)
+            vq, vs = _quantize_kv_slice(v, quantize)
+            return None, (kq, ks, vq, vs)
+        return None, (k, v)
 
-    _, (ks, vs) = jax.lax.scan(one_layer, None, params["decoder"]["layers"])
-    return ks, vs
+    _, out = jax.lax.scan(one_layer, None, params["decoder"]["layers"])
+    if quantize:
+        return QuantCrossKV(k_q=out[0], k_scale=out[1],
+                            v_q=out[2], v_scale=out[3])
+    return out
 
 
 @dataclasses.dataclass
@@ -379,18 +394,11 @@ jax.tree_util.register_dataclass(
 )
 
 
-def quantize_cross_kv(cross_kv, bits=8) -> QuantCrossKV:
-    """Symmetric per-channel int8/int4/fp8 quantization over the time axis.
-
-    int8 halves the dominant HBM stream of the decode loop (PERF.md);
-    int4 (native jnp.int4 packed storage) quarters it at some accuracy
-    cost — validate WER before enabling on a production labelling run.
-    ``bits="fp8"`` stores float8_e4m3fn at the same byte width as int8 but
-    with a hardware cast path on the dequant (no round/clip pass) and
-    per-channel scaling into fp8's full 448 range.
-    """
-    k, v = cross_kv
-    if bits == 8:
+def _quantize_kv_slice(x, bits):
+    """Symmetric per-channel quantization of a time-minor K or V tensor
+    (reduction over the minor time axis). Works on a per-layer
+    [B, H, Dh, T] slice or the stacked [L, B, H, Dh, T]."""
+    if bits == 8 or bits is True:
         qmax, store = 127.0, jnp.int8
     elif bits == 4:
         qmax, store = 7.0, jnp.int4
@@ -398,18 +406,31 @@ def quantize_cross_kv(cross_kv, bits=8) -> QuantCrossKV:
         qmax, store = 448.0, jnp.float8_e4m3fn
     else:
         raise ValueError(f"bits must be 8, 4 or 'fp8', got {bits}")
+    m = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    scale = m / qmax + 1e-12
+    xs = x.astype(jnp.float32) / scale
+    if bits != "fp8":  # fp8's cast rounds natively; ints need round+clip
+        xs = jnp.clip(jnp.round(xs), -qmax, qmax)
+    return xs.astype(store), scale.astype(jnp.float32)
 
-    def q(x):
-        # reduce over the (minor) time axis: per-(layer,batch,head,channel)
-        m = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=4, keepdims=True)
-        scale = m / qmax + 1e-12
-        xs = x.astype(jnp.float32) / scale
-        if bits != "fp8":  # fp8's cast rounds natively; ints need round+clip
-            xs = jnp.clip(jnp.round(xs), -qmax, qmax)
-        return xs.astype(store), scale.astype(jnp.float32)
 
-    kq, ks = q(k)
-    vq, vs = q(v)
+def quantize_cross_kv(cross_kv, bits=8) -> QuantCrossKV:
+    """Symmetric per-channel int8/int4/fp8 quantization over the time axis.
+
+    int8 halves the dominant HBM stream of the decode loop (PERF.md);
+    int4 (native jnp.int4 packed storage) quarters it — measured FASTER
+    than int8 at large-v2 shapes where bytes dominate (PERF.md round 3),
+    validate WER before enabling on a production labelling run.
+    ``bits="fp8"`` stores float8_e4m3fn at the same byte width as int8 but
+    with a hardware cast path on the dequant (no round/clip pass) and
+    per-channel scaling into fp8's full 448 range.
+
+    Prefer ``precompute_cross_kv(..., quantize=bits)`` for big models: it
+    quantizes inside the layer scan, avoiding an O(full-KV) fp32 temp.
+    """
+    k, v = cross_kv
+    kq, ks = _quantize_kv_slice(k, bits)
+    vq, vs = _quantize_kv_slice(v, bits)
     return QuantCrossKV(k_q=kq, k_scale=ks, v_q=vq, v_scale=vs)
 
 
