@@ -29,15 +29,22 @@ import time
 import numpy as np
 
 
-def _median_time(fn, *args, iters=8):
+def _median_time(fn, *args, iters=8, arg_pool=None):
     """Median wall-time of fn; np.asarray forces a device-to-host transfer —
     on the tunneled TPU backend block_until_ready alone does not reliably
     await remote execution, so every timed call must materialise its result.
     Median because the tunneled chip's throughput drifts between runs
-    (PERF.md): the statistic must be robust to stragglers."""
+    (PERF.md): the statistic must be robust to stragglers.
+
+    ``arg_pool``: optional list of replacement values for args[1], rotated
+    across iterations so no single input is re-timed back to back (keeps
+    the number apples-to-apples with the r1/r2 methodology)."""
     np.asarray(fn(*args))  # warmup / compile
     samples = []
-    for _ in range(iters):
+    args = list(args)
+    for i in range(iters):
+        if arg_pool is not None:
+            args[1] = arg_pool[i % len(arg_pool)]
         t0 = time.perf_counter()
         np.asarray(fn(*args))
         samples.append(time.perf_counter() - t0)
@@ -82,8 +89,11 @@ def bench_label(jax, jnp):
         return res.tokens
 
     rng = np.random.RandomState(0)
-    audio = jnp.asarray(rng.randn(batch, N_SAMPLES).astype(np.float32) * 0.1)
-    dt = _median_time(label_chunks, params, audio, prefix)
+    pool = [
+        jnp.asarray(rng.randn(batch, N_SAMPLES).astype(np.float32) * 0.1)
+        for _ in range(4)
+    ]
+    dt = _median_time(label_chunks, params, pool[0], prefix, arg_pool=pool)
     return batch * 30.0 / dt
 
 
@@ -176,8 +186,11 @@ def bench_eval_rtf(jax, jnp):
         ).tokens
 
     rng = np.random.RandomState(0)
-    audio = jnp.asarray(rng.randn(batch, N_SAMPLES).astype(np.float32) * 0.1)
-    dt = _median_time(eval_chunks, params, audio, prefix)
+    pool = [
+        jnp.asarray(rng.randn(batch, N_SAMPLES).astype(np.float32) * 0.1)
+        for _ in range(4)
+    ]
+    dt = _median_time(eval_chunks, params, pool[0], prefix, arg_pool=pool)
     return batch * 30.0 / dt
 
 

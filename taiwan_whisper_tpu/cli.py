@@ -25,6 +25,21 @@ import os
 import sys
 
 
+def _quant_arg(v: str):
+    """--quantize_kv value: off/0/false | 8/int8/true | 4/int4 | fp8."""
+    s = str(v).strip().lower()
+    if s in ("", "0", "off", "false", "none"):
+        return 0
+    if s in ("8", "int8", "true", "1"):
+        return 8
+    if s in ("4", "int4"):
+        return 4
+    if s in ("fp8", "e4m3", "float8"):
+        return "fp8"
+    raise argparse.ArgumentTypeError(
+        f"--quantize_kv must be off/8/4/fp8, got {v!r}")
+
+
 def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--tokenizer_dir", default=None,
                    help="dir with vocab.json/merges.txt (optional)")
@@ -53,10 +68,16 @@ def cmd_label(args):
             vad_mode=args.vad_mode,
             quantize_kv=args.quantize_kv,
             num_beams=args.num_beams,
+            pooled=not args.no_pooled,
+            max_decode_tokens=args.max_decode_tokens,
+            num_draft_tokens=args.num_draft_tokens,
         ),
         tokenizer_dir=args.tokenizer_dir,
+        assistant_dir=args.assistant,
+        validation_manifest=args.validation_manifest,
     )
     print(json.dumps(stats))
+    return stats
 
 
 def cmd_segment(args):
@@ -335,17 +356,36 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--output_dir", required=True)
     p.add_argument("--language", default="zh")
     p.add_argument("--strategy", default="chunked", choices=["chunked", "sequential"])
-    p.add_argument("--batch_size", type=int, default=16)
+    p.add_argument("--batch_size", type=int, default=96,
+                   help="pooled chunk batch; default = the measured v5e "
+                        "greedy knee (PERF.md)")
     p.add_argument("--energy_vad_threshold", type=float, default=0.0)
     p.add_argument("--vad_mode", default="spectral",
                    choices=["spectral", "energy", "off"],
                    help="region-gated decode: spectral (default; rejects "
                         "music/noise), energy (RMS only), off (whole file)")
-    p.add_argument("--quantize_kv", action="store_true",
-                   help="int8 cross-KV for ~20%% more decode throughput")
+    p.add_argument("--quantize_kv", type=_quant_arg, nargs="?", const=8,
+                   default=0, metavar="MODE",
+                   help="cross-KV quantization: bare flag or 8 -> int8 "
+                        "(recommended, PERF.md), 4 -> int4, fp8 -> e4m3, "
+                        "off -> disabled")
     p.add_argument("--num_beams", type=int, default=1,
                    help="beam-search teacher decode (reference labels with "
                         "beam 5)")
+    p.add_argument("--no_pooled", action="store_true",
+                   help="disable the pooled cross-file chunk scheduler "
+                        "(debug/A-B only; pooled is the fast path)")
+    p.add_argument("--max_decode_tokens", type=int, default=None,
+                   help="cap sampled tokens per 30 s chunk (None = model "
+                        "max 448)")
+    p.add_argument("--assistant", default=None,
+                   help="draft model dir: label with speculative decoding "
+                        "(teacher-exact; reference run_eval.py:524-545)")
+    p.add_argument("--num_draft_tokens", type=int, default=5)
+    p.add_argument("--validation_manifest", default=None,
+                   help="labelled split to score pseudo-label quality "
+                        "against (live CER/MER, reference "
+                        "run_pseudo_labelling.py:959-979)")
     _add_common(p)
     p.set_defaults(fn=cmd_label)
 
@@ -453,7 +493,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--format", default="srt",
                    choices=["txt", "srt", "vtt", "json"])
     p.add_argument("--batch_size", type=int, default=8)
-    p.add_argument("--quantize_kv", action="store_true")
+    p.add_argument("--quantize_kv", type=_quant_arg, nargs="?", const=8,
+                   default=0, metavar="MODE",
+                   help="off/8/4/fp8 (bare flag = int8)")
     p.add_argument("--num_beams", type=int, default=1)
     _add_common(p)
     p.set_defaults(fn=cmd_transcribe)

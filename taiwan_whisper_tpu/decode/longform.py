@@ -176,7 +176,7 @@ def sequential_decode(
     max_prompt_tokens: int = 223,
     mel_fn: Optional[Callable] = None,
     seed: int = 0,
-    quantize_cross_kv: bool = False,
+    quantize_cross_kv=0,  # 0/False off; True/8 int8; 4 int4; "fp8" e4m3
     num_beams: int = 1,
     length_penalty: float = 1.0,
     tail_pad: str = "zeros",  # "zeros" (HF feature-pad) | "silence" (OpenAI)
@@ -378,9 +378,10 @@ def chunked_decode(
     chunk_s: Optional[float] = None,
     stride_s: Optional[float] = None,
     mel_fn: Optional[Callable] = None,
-    quantize_cross_kv: bool = False,
+    quantize_cross_kv=0,  # 0/False off; True/8 int8; 4 int4; "fp8" e4m3
     num_beams: int = 1,
     length_penalty: float = 1.0,
+    max_decode_tokens: Optional[int] = None,  # cap sampled tokens per chunk
 ) -> LongformResult:
     """Batched parallel chunked decode + timestamp-stitch merge.
 
@@ -404,6 +405,7 @@ def chunked_decode(
         stride_s = chunk_s / 6.0  # the reference default (pipeline.py:224)
 
     chunks = chunk_with_stride(audio, chunk_s, stride_s, stride_s)
+    max_len = len(sot_seq) + max_decode_tokens if max_decode_tokens else None
 
     @jax.jit
     def decode_batch(audio_batch, prefix):
@@ -411,10 +413,11 @@ def chunked_decode(
         enc = M.encode(params, mel, config, policy)
         if num_beams > 1:
             return beam_decode(params, enc, prefix, config, rules, policy,
-                               num_beams=num_beams,
+                               num_beams=num_beams, max_len=max_len,
                                length_penalty=length_penalty,
                                quantize_cross_kv=quantize_cross_kv)
         return greedy_decode(params, enc, prefix, config, rules, policy,
+                             max_len=max_len,
                              quantize_cross_kv=quantize_cross_kv)
 
     all_segments: List[TranscriptSegment] = []

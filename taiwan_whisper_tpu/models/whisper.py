@@ -346,7 +346,8 @@ def precompute_cross_kv(
 
     Quantizing INSIDE the per-layer scan keeps the fp32 quantization
     transient at 1/L of the whole tensor — quantizing large-v2 beam-5 KV
-    after the fact OOMs v5e (a [32,40,20,64,1500] fp32 temp is ~29 GB).
+    after the fact OOMs v5e (the [32,40,20,64,1500] fp32 temps are ~9.8 GB
+    each, ~20 GB for K+V together, over the 16 GB HBM).
     """
     dtype = policy.compute_dtype
     n_heads = config.decoder_attention_heads
@@ -418,9 +419,11 @@ def quantize_cross_kv(cross_kv, bits=8) -> QuantCrossKV:
     """Symmetric per-channel int8/int4/fp8 quantization over the time axis.
 
     int8 halves the dominant HBM stream of the decode loop (PERF.md);
-    int4 (native jnp.int4 packed storage) quarters it — measured FASTER
-    than int8 at large-v2 shapes where bytes dominate (PERF.md round 3),
-    validate WER before enabling on a production labelling run.
+    int4 (native jnp.int4 packed storage) quarters the bytes but pays a
+    VPU unpack — measured SLOWER than int8 at whisper-base shapes
+    (PERF.md "measured non-levers"); see PERF.md's large-v2 grid for the
+    large-model ranking, and validate WER before enabling on a
+    production labelling run.
     ``bits="fp8"`` stores float8_e4m3fn at the same byte width as int8 but
     with a hardware cast path on the dequant (no round/clip pass) and
     per-channel scaling into fp8's full 448 range.
@@ -485,7 +488,10 @@ def _cross_attention(q, cross_slice, dtype, use_pallas: bool = False):
         kq, vq = cross_slice
         vs = None
         qs = (q * scale).astype(dtype)
-    if q.shape[1] == 1 and _use_pallas_decode(dh, use_pallas):
+    # the experimental kernel's tested contract is bf16 or int8 storage;
+    # int4/fp8 astype inside Mosaic is unproven — those fall through to XLA
+    kernel_ok = kq.dtype in (jnp.int8, jnp.bfloat16, dtype)
+    if q.shape[1] == 1 and kernel_ok and _use_pallas_decode(dh, use_pallas):
         from ..ops.decode_attention import cross_decode_attention
 
         # the experimental kernel wants head-major contiguous [B,H,T,Dh]

@@ -76,6 +76,7 @@ class DistillRunConfig:
     use_wandb: bool = False
     gen_eval_batches: int = 0  # >0: also greedy-decode N eval batches -> MER
     gen_eval_max_tokens: int = 128
+    gen_eval_table_rows: int = 32  # per-sample prediction-table cap
     num_workers: int = 4  # parallel audio-decode threads (0 = inline);
     # native FLAC decode releases the GIL so threads scale on host cores
 
@@ -252,20 +253,32 @@ def run_distillation(
 
             def gen_eval_fn(step):
                 preds, refs = [], []
+                raw_preds, raw_refs = [], []
                 for eb in eval_batches[: run_cfg.gen_eval_batches]:
                     res = decode_eval(student_s, jnp.asarray(eb["audio"]))
                     toks = np.asarray(res.tokens)
                     lens = np.asarray(res.lengths)
                     for j in range(toks.shape[0]):
                         ids = toks[j][len(sot_seq): len(sot_seq) + int(lens[j])]
-                        preds.append(norm(tok.decode(ids.tolist(),
-                                                     skip_special_tokens=True)))
+                        raw = tok.decode(ids.tolist(), skip_special_tokens=True)
+                        raw_preds.append(raw)
+                        preds.append(norm(raw))
                         ref_ids = [int(t) for t in eb["labels"][j]
                                    if t >= 0 and t < tok.special.eot]
-                        refs.append(norm(tok.decode(ref_ids,
-                                                    skip_special_tokens=True)))
+                        raw_ref = tok.decode(ref_ids, skip_special_tokens=True)
+                        raw_refs.append(raw_ref)
+                        refs.append(norm(raw_ref))
                 mer = metric.compute(preds, refs)
                 logger.log({"gen_mer": float(mer)}, step, prefix="eval")
+                # per-sample prediction tables + incorrect-only view
+                # (reference run_distillation.py:534-570)
+                cols = ("pred", "label", "norm_pred", "norm_label")
+                rows = list(zip(raw_preds, raw_refs, preds, refs))
+                cap = run_cfg.gen_eval_table_rows
+                logger.log_table("predictions", cols, rows[:cap], step)
+                wrong = [r for r in rows if r[2] != r[3]]
+                logger.log_table("incorrect_predictions", cols, wrong[:cap],
+                                 step)
 
         def run_eval(step):
             nonlocal best_eval_loss

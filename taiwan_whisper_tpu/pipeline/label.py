@@ -3,9 +3,20 @@
 TPU-native replacement for the reference's faster-whisper/CTranslate2 driver
 (pseudo-labelling/initial_inference.py:56-122) and its Accelerate-DDP
 variant (training/run_pseudo_labelling.py): the teacher runs as batched
-chunked long-form decode on-device (decode/longform.py), files are sharded
-across hosts by jax.process_index, and each audio file produces the same
-{start,end,text} CSV the downstream segmenter consumes.
+chunked long-form decode on-device, files are sharded across hosts by
+jax.process_index, and each audio file produces the same {start,end,text}
+CSV the downstream segmenter consumes.
+
+The chunked strategy runs a POOLED scheduler: 30 s chunks from all VAD
+speech regions of all files are collected into one queue and decoded in
+fixed knee-sized device batches (one jit loop), with host-side audio
+load + VAD prefetched on threads — so a 5 s VAD region never occupies a
+whole device batch by itself. Decoded segments are scattered back to
+per-file CSVs in order. This is SURVEY §5's "chunk-parallel batch decode
+across chips" applied within a chip; the per-region batching of the
+reference lives in faster-whisper's BatchedInferencePipeline
+(initial_inference.py:84-90) and HF pipeline's chunk iterator
+(training/flax/distil_whisper/pipeline.py:224-254).
 
 A lightweight energy VAD gates obviously-silent chunks before they reach the
 device (the reference relies on faster-whisper's VAD model; here silence is
@@ -18,7 +29,8 @@ import csv
 import dataclasses
 import os
 import time
-from typing import Optional, Sequence
+from concurrent.futures import ThreadPoolExecutor
+from typing import List, Optional, Sequence
 
 import numpy as np
 
@@ -27,7 +39,14 @@ from ..audio.manifest import read_manifest
 from ..models.config import DtypePolicy, WhisperConfig
 from ..parallel.mesh import host_local_slice
 from ..text.tokenizer import WhisperTokenizer
-from ..decode.longform import LongformResult, chunked_decode, sequential_decode
+from ..decode.longform import (
+    LongformResult,
+    TranscriptSegment,
+    _tokens_to_segments,
+    chunk_with_stride,
+    chunked_decode,
+    sequential_decode,
+)
 
 
 @dataclasses.dataclass
@@ -35,7 +54,9 @@ class LabelConfig:
     language: str = "zh"
     task: str = "transcribe"
     strategy: str = "chunked"  # | sequential
-    batch_size: int = 16
+    # device batch of pooled 30 s chunks; default = the measured throughput
+    # knee of the greedy labelling config on v5e (PERF.md)
+    batch_size: int = 96
     # None: derive from the model context (30 s for real Whisper configs;
     # chunked_decode defaults chunk to max_source_positions and stride to
     # chunk/6, the reference's ratio)
@@ -49,9 +70,26 @@ class LabelConfig:
     # RMS-only gate; "off" decodes the whole file.
     vad_regions: bool = True
     vad_mode: str = "spectral"  # | energy | off
-    quantize_kv: bool = False  # int8 cross-KV (+~20% throughput, near-parity)
+    # cross-KV quantization: 0/False off; True/8 int8; 4 int4; "fp8" e4m3
+    # (int8 is the measured default recommendation — PERF.md)
+    quantize_kv: object = False
     num_beams: int = 1  # >1: beam-search teacher decode (reference labels
     # with beam — run_pseudo_labelling.py:858-866, faster-whisper default 5)
+    # chunked strategy only: pool chunks across VAD regions AND files into
+    # full device batches (the shipping fast path); False falls back to
+    # per-file chunked_decode calls (kept for A/B and debugging)
+    pooled: bool = True
+    io_threads: int = 2  # host-side load+VAD prefetch workers (pooled path)
+    # cap sampled tokens per chunk (None = model max, 448). The labelling
+    # throughput numbers in PERF.md use 192 — a realistic long-form budget
+    max_decode_tokens: Optional[int] = None
+    # speculative decoding: draft with a distilled student, verify with the
+    # teacher (greedy-exact; measured in PERF.md "speculative"). Enabled by
+    # passing assistant params via label_files(assistant=...) / cli
+    # --assistant; batch is 1 per chunk, so this is a small-batch/low-latency
+    # mode, not the pooled-throughput mode.
+    speculative: bool = False
+    num_draft_tokens: int = 5
 
 
 def energy_vad_is_speech(audio: np.ndarray, threshold: float) -> bool:
@@ -71,6 +109,221 @@ def write_label_csv(path: str, result: LongformResult, tok: WhisperTokenizer):
             w.writerow([f"{seg.start:.3f}", f"{seg.end:.3f}", seg.text(tok)])
 
 
+@dataclasses.dataclass
+class _ChunkTask:
+    """One padded 30 s chunk awaiting decode, tagged for scatter-back."""
+
+    file_idx: int
+    audio: np.ndarray  # [chunk_len] fp32, padded
+    offset: float  # ABSOLUTE seconds in the source file
+    stride_left: float
+    stride_right: float
+    window_duration: float  # unpadded seconds in this chunk
+
+
+def _file_to_tasks(
+    file_idx: int, audio: np.ndarray, cfg: LabelConfig,
+    chunk_s: float, stride_s: float,
+) -> List[_ChunkTask]:
+    """Host-side prep of one file: VAD regions -> strided chunks.
+
+    Chunk offsets are shifted to the file's absolute timeline here, so the
+    consumer's segment arithmetic is identical to chunked_decode's
+    core-region merge (decode/longform.py) with no post-shift."""
+    from ..audio.mel import SAMPLE_RATE
+
+    if cfg.vad_regions and cfg.vad_mode != "off":
+        from .vad import detect_speech_regions
+
+        regions = detect_speech_regions(audio, cfg.vad_mode)
+    else:
+        regions = [(0.0, len(audio) / SAMPLE_RATE)]
+    tasks: List[_ChunkTask] = []
+    for a, b in regions:
+        span = audio[int(a * SAMPLE_RATE): int(b * SAMPLE_RATE)]
+        if len(span) == 0:
+            continue
+        for chunk, off, sl, sr in chunk_with_stride(
+            span, chunk_s, stride_s, stride_s
+        ):
+            dur = min(chunk_s, len(span) / SAMPLE_RATE - off)
+            tasks.append(_ChunkTask(file_idx, chunk, a + off, sl, sr, dur))
+    return tasks
+
+
+def _label_files_pooled(
+    params,
+    config: WhisperConfig,
+    tok: WhisperTokenizer,
+    audio_paths: Sequence[str],
+    output_dir: str,
+    cfg: LabelConfig,
+    policy: DtypePolicy,
+    *,
+    mel_fn=None,
+    log_every: int = 10,
+) -> dict:
+    """The chunk-queue scheduler: every file's VAD-region chunks feed one
+    shared queue; the device sees only full ``batch_size`` batches through a
+    single jit'd mel->encode->decode function; segments scatter back to
+    per-file CSVs. File loading + VAD run ahead on ``io_threads`` threads."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..audio.mel import N_SAMPLES, SAMPLE_RATE, log_mel
+    from ..decode.beam import beam_decode
+    from ..decode.greedy import greedy_decode
+    from ..decode.rules import DecodeRules
+    from ..models import whisper as M
+
+    special = tok.special
+    rules = DecodeRules.from_special(special, timestamps=True)
+    sot_seq = tok.sot_sequence(cfg.language, cfg.task, timestamps=True)
+    chunk_s = cfg.chunk_s or config.max_source_positions * 2 * 160 / SAMPLE_RATE
+    stride_s = cfg.stride_s if cfg.stride_s is not None else chunk_s / 6.0
+    chunk_len = int(chunk_s * SAMPLE_RATE)
+    bs = cfg.batch_size
+    max_len = (len(sot_seq) + cfg.max_decode_tokens
+               if cfg.max_decode_tokens else None)
+
+    if mel_fn is None:
+        if jax.default_backend() == "tpu" and chunk_len == N_SAMPLES:
+            from ..ops.mel_kernel import log_mel_pallas
+
+            mel_fn = lambda a: log_mel_pallas(a, config.num_mel_bins)  # noqa: E731
+        else:
+            mel_fn = lambda a: log_mel(a, config.num_mel_bins)  # noqa: E731
+
+    prefix = jnp.asarray([sot_seq] * bs, jnp.int32)
+
+    @jax.jit
+    def decode_batch(audio_batch, prefix):
+        mel = mel_fn(audio_batch)
+        enc = M.encode(params, mel, config, policy)
+        if cfg.num_beams > 1:
+            return beam_decode(
+                params, enc, prefix, config, rules, policy,
+                num_beams=cfg.num_beams, max_len=max_len,
+                quantize_cross_kv=cfg.quantize_kv,
+            )
+        return greedy_decode(
+            params, enc, prefix, config, rules, policy, max_len=max_len,
+            quantize_cross_kv=cfg.quantize_kv,
+        )
+
+    # per-file bookkeeping: segments land here as their batches complete
+    states: dict = {}  # file_idx -> {segments, remaining, produced, out_csv}
+    buffer: List[_ChunkTask] = []
+    stats = dict(files=0, skipped=0, failed=0, audio_seconds=0.0,
+                 chunks=0, batches=0, pad_slots=0)
+    t0 = time.time()
+
+    def finish_file(idx):
+        st = states.pop(idx)
+        st["segments"].sort(key=lambda s: s.start)
+        write_label_csv(st["out_csv"], LongformResult(st["segments"]), tok)
+        stats["files"] += 1
+        if log_every and stats["files"] % log_every == 0:
+            rate = stats["audio_seconds"] / max(time.time() - t0, 1e-6)
+            print(f"[label] {stats['files']} files, {rate:.1f} audio-s/s")
+
+    def run_batch(batch: List[_ChunkTask]):
+        pad_n = bs - len(batch)
+        arr = np.stack([t.audio for t in batch]
+                       + [batch[-1].audio] * pad_n)
+        res = decode_batch(jnp.asarray(arr), prefix)
+        tokens = np.asarray(res.tokens)
+        lengths = np.asarray(res.lengths)
+        stats["batches"] += 1
+        stats["pad_slots"] += pad_n
+        for j, t in enumerate(batch):
+            sampled = tokens[j][
+                len(sot_seq): len(sot_seq) + int(lengths[j])
+            ].tolist()
+            segs, _, _ = _tokens_to_segments(
+                sampled, special, t.offset, t.window_duration
+            )
+            lo = t.offset + t.stride_left
+            hi = t.offset + chunk_s - t.stride_right
+            st = states[t.file_idx]
+            for s in segs:
+                if (s.start >= lo or t.stride_left == 0.0) and (
+                    s.start < hi or t.stride_right == 0.0
+                ):
+                    st["segments"].append(s)
+            st["remaining"] -= 1
+            if st["remaining"] == 0 and st["produced"]:
+                finish_file(t.file_idx)
+
+    def drain(force=False):
+        while len(buffer) >= bs or (force and buffer):
+            batch = buffer[:bs]
+            del buffer[:bs]
+            run_batch(batch)
+
+    def load_one(item):
+        idx, path = item
+        try:
+            audio = load_audio_16k(path)
+        except Exception as e:  # tolerate unreadable files (reference does)
+            return idx, None, 0.0, f"{e}"
+        if not energy_vad_is_speech(audio, cfg.energy_vad_threshold):
+            return idx, [], len(audio) / 16000.0, None
+        tasks = _file_to_tasks(idx, audio, cfg, chunk_s, stride_s)
+        return idx, tasks, len(audio) / 16000.0, None
+
+    todo = []
+    for idx, path in enumerate(audio_paths):
+        stem = os.path.splitext(os.path.basename(path))[0]
+        out_csv = os.path.join(output_dir, f"{stem}.csv")
+        if os.path.exists(out_csv):  # resumable, like the per-file path
+            stats["skipped"] += 1
+            continue
+        todo.append((idx, path))
+        states[idx] = dict(segments=[], remaining=0, produced=False,
+                           out_csv=out_csv)
+
+    # bounded look-ahead: io_threads workers prep files while the device
+    # decodes; completed files enter the queue in submission order so CSVs
+    # appear deterministically
+    with ThreadPoolExecutor(max_workers=max(cfg.io_threads, 1)) as pool:
+        inflight = []
+        it = iter(todo)
+
+        def top_up():
+            while len(inflight) < max(cfg.io_threads, 1) * 2:
+                try:
+                    item = next(it)
+                except StopIteration:
+                    return
+                inflight.append(pool.submit(load_one, item))
+
+        top_up()
+        while inflight:
+            idx, tasks, secs, err = inflight.pop(0).result()
+            top_up()
+            if tasks is None:
+                print(f"[label] failed to read {audio_paths[idx]}: {err}")
+                states.pop(idx)
+                stats["failed"] += 1
+                continue
+            stats["audio_seconds"] += secs
+            st = states[idx]
+            st["remaining"] = len(tasks)
+            st["produced"] = True
+            if not tasks:  # no speech anywhere: empty CSV now
+                finish_file(idx)
+                continue
+            buffer.extend(tasks)
+            stats["chunks"] += len(tasks)
+            drain()
+        drain(force=True)
+
+    assert not states, f"unfinished files: {sorted(states)}"
+    stats["wall_seconds"] = time.time() - t0
+    return stats
+
+
 def label_files(
     params,
     config: WhisperConfig,
@@ -82,9 +335,16 @@ def label_files(
     *,
     mel_fn=None,
     log_every: int = 10,
+    assistant=None,  # (params, config) draft model for cfg.speculative
 ) -> dict:
     """Transcribe each file to <output_dir>/<stem>.csv; returns stats."""
     os.makedirs(output_dir, exist_ok=True)
+    if (cfg.strategy == "chunked" and cfg.pooled
+            and not (cfg.speculative and assistant is not None)):
+        return _label_files_pooled(
+            params, config, tok, audio_paths, output_dir, cfg, policy,
+            mel_fn=mel_fn, log_every=log_every,
+        )
     done = 0
     skipped = 0
     audio_seconds = 0.0
@@ -105,6 +365,10 @@ def label_files(
             continue
 
         def decode_span(span_audio):
+            if cfg.speculative and assistant is not None:
+                return _speculative_chunked(
+                    params, config, assistant, span_audio, tok, policy, cfg
+                )
             if cfg.strategy == "chunked":
                 return chunked_decode(
                     params, span_audio, config, tok, policy,
@@ -113,6 +377,7 @@ def label_files(
                     stride_s=cfg.stride_s, mel_fn=mel_fn,
                     quantize_cross_kv=cfg.quantize_kv,
                     num_beams=cfg.num_beams,
+                    max_decode_tokens=cfg.max_decode_tokens,
                 )
             # no mel_fn: sequential_decode computes the full-file mel once
             # and needs arbitrary-length support (the fixed-30 s Pallas mel
@@ -137,6 +402,7 @@ def label_files(
                     s.start += a
                     s.end += a
                 segs.extend(r.segments)
+            segs.sort(key=lambda s: s.start)  # CSV is globally time-ordered
             res = LongformResult(segments=segs)
         else:
             res = decode_span(audio)
@@ -155,14 +421,89 @@ def label_files(
     }
 
 
+def _speculative_chunked(
+    params, config, assistant, audio, tok, policy, cfg: LabelConfig
+) -> LongformResult:
+    """Chunked long-form labelling via speculative decoding (batch 1 per
+    chunk): the assistant (distilled student) drafts, the teacher verifies —
+    greedy-exact vs plain teacher decode (decode/speculative.py). Counterpart
+    of the reference's assistant-model generate (run_eval.py:524-545)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..audio.mel import SAMPLE_RATE, log_mel
+    from ..decode.rules import DecodeRules
+    from ..decode.speculative import speculative_decode
+    from ..models import whisper as M
+
+    a_params, a_config = assistant
+    special = tok.special
+    rules = DecodeRules.from_special(special, timestamps=True)
+    sot_seq = tok.sot_sequence(cfg.language, cfg.task, timestamps=True)
+    chunk_s = cfg.chunk_s or config.max_source_positions * 2 * 160 / SAMPLE_RATE
+    stride_s = cfg.stride_s if cfg.stride_s is not None else chunk_s / 6.0
+    max_len = (len(sot_seq) + cfg.max_decode_tokens
+               if cfg.max_decode_tokens else None)
+    shared_encoder = a_config.d_model == config.d_model and (
+        a_config.encoder_layers == config.encoder_layers
+    )
+
+    @jax.jit
+    def spec_one(chunk):
+        mel = log_mel(chunk[None], config.num_mel_bins)
+        t_enc = M.encode(params, mel, config, policy)
+        if shared_encoder:
+            s_enc = t_enc  # distilled students share the teacher encoder
+        else:
+            a_mel = log_mel(chunk[None], a_config.num_mel_bins)
+            s_enc = M.encode(a_params, a_mel, a_config, policy)
+        prefix = jnp.asarray([sot_seq], jnp.int32)
+        return speculative_decode(
+            params, config, a_params, a_config, t_enc, s_enc, prefix,
+            rules, policy, num_draft_tokens=cfg.num_draft_tokens,
+            max_len=max_len,
+        )
+
+    segments: List[TranscriptSegment] = []
+    accept_rates = []
+    for chunk, offset, sl, sr in chunk_with_stride(audio, chunk_s,
+                                                   stride_s, stride_s):
+        res = spec_one(jnp.asarray(chunk))
+        sampled = np.asarray(res.tokens)[0][
+            len(sot_seq): len(sot_seq) + int(res.length)
+        ].tolist()
+        accept_rates.append(float(res.draft_accept_rate))
+        window_dur = min(chunk_s, len(audio) / SAMPLE_RATE - offset)
+        segs, _, _ = _tokens_to_segments(sampled, special, offset, window_dur)
+        lo, hi = offset + sl, offset + chunk_s - sr
+        for s in segs:
+            if (s.start >= lo or sl == 0.0) and (s.start < hi or sr == 0.0):
+                segments.append(s)
+    segments.sort(key=lambda s: s.start)
+    out = LongformResult(segments=segments)
+    out.draft_accept_rate = (  # type: ignore[attr-defined]
+        float(np.mean(accept_rates)) if accept_rates else 0.0
+    )
+    return out
+
+
 def run_labelling(
     manifest_path: str,
     model_dir: str,
     output_dir: str,
     cfg: LabelConfig = LabelConfig(),
     tokenizer_dir: Optional[str] = None,
+    assistant_dir: Optional[str] = None,
+    validation_manifest: Optional[str] = None,
 ) -> dict:
-    """CLI entry: shard the manifest over hosts and label this host's slice."""
+    """CLI entry: shard the manifest over hosts and label this host's slice.
+
+    ``assistant_dir`` loads a draft model and switches on speculative
+    decoding (cfg.speculative is implied). ``validation_manifest`` points at
+    a labelled split (manifest with transcript sidecars): after labelling,
+    live CER/MER of the pseudo-labels against ground truth is computed and
+    returned — the label-quality meter of the reference's distributed
+    labeller (training/run_pseudo_labelling.py:808,959-979)."""
     from ..models.io import load_model
 
     params, config = load_model(model_dir)
@@ -171,9 +512,72 @@ def run_labelling(
         if tokenizer_dir
         else WhisperTokenizer()
     )
+    assistant = None
+    if assistant_dir:
+        assistant = load_model(assistant_dir)
+        cfg = dataclasses.replace(cfg, speculative=True)
     manifest = read_manifest(manifest_path)
     paths = manifest.absolute_paths()
     shard = host_local_slice(len(paths))
-    return label_files(
-        params, config, tok, paths[shard], output_dir, cfg
+    stats = label_files(
+        params, config, tok, paths[shard], output_dir, cfg,
+        assistant=assistant,
     )
+    if validation_manifest:
+        stats["validation"] = validate_labels(
+            params, config, tok, validation_manifest, output_dir, cfg,
+            assistant=assistant,
+        )
+    return stats
+
+
+def validate_labels(
+    params,
+    config: WhisperConfig,
+    tok: WhisperTokenizer,
+    validation_manifest: str,
+    output_dir: str,
+    cfg: LabelConfig,
+    assistant=None,
+) -> dict:
+    """Label a ground-truth split and score the pseudo-labels against it.
+
+    The reference's labeller computes CER on validation splits during the
+    run (run_pseudo_labelling.py:808,959-979 — `evaluate.load("cer")` over
+    gathered predictions); here the validation files go through the SAME
+    labelling path as production files and the resulting CSV text is scored
+    with MixErrorRate (MER + EN-WER + ZH-CER, the repo's richer metric).
+    Returns {mer, en_wer, zh_cer, n_files}."""
+    from ..text.metrics import MixErrorRate
+    from ..text.normalizer import BasicTextNormalizer
+    from ..text.tokenizer import strip_markers
+
+    vman = read_manifest(validation_manifest)
+    v_audio = vman.absolute_paths()
+    v_txt = vman.transcript_paths()
+    val_dir = os.path.join(output_dir, "validation")
+    os.makedirs(val_dir, exist_ok=True)
+    label_files(params, config, tok, v_audio, val_dir, cfg,
+                assistant=assistant, log_every=0)
+    normalizer = BasicTextNormalizer()
+    preds, refs = [], []
+    for apath, tpath in zip(v_audio, v_txt):
+        stem = os.path.splitext(os.path.basename(apath))[0]
+        csv_path = os.path.join(val_dir, f"{stem}.csv")
+        if not (os.path.exists(csv_path) and os.path.exists(tpath)):
+            continue
+        with open(csv_path, encoding="utf-8") as f:
+            rows = list(csv.DictReader(f))
+        preds.append(normalizer("".join(r["text"] for r in rows)))
+        with open(tpath, encoding="utf-8") as f:
+            # transcript sidecar: first line is the text (markers stripped)
+            refs.append(normalizer(strip_markers(f.readline().strip())))
+    if not preds:
+        return {"mer": None, "n_files": 0}
+    scores = MixErrorRate(separate_language=True).compute(preds, refs)
+    return {
+        "mer": scores["MER"],
+        "en_wer": scores["EN WER"],
+        "zh_cer": scores["ZH CER"],
+        "n_files": len(preds),
+    }

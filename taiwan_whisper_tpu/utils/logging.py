@@ -62,6 +62,31 @@ class MetricsLogger:
         if self._wandb:  # pragma: no cover
             self._wandb.log(payload, step=step)
 
+    def log_table(self, name: str, columns, rows, step: int,
+                  prefix: str = "eval"):
+        """Per-sample prediction tables (reference run_distillation.py:534-570
+        logs wandb tables of (pred, label, norm_pred, norm_label) plus an
+        incorrect-only view). JSONL gets one structured record; wandb gets a
+        native Table when active."""
+        payload = {
+            "table": f"{prefix}/{name}",
+            "columns": list(columns),
+            "rows": [list(r) for r in rows],
+            "step": step,
+            "time": time.time(),
+        }
+        print(f"[{prefix}] table {name}: {len(rows)} rows", flush=True)
+        if self._jsonl:
+            self._jsonl.write(json.dumps(payload, ensure_ascii=False) + "\n")
+            self._jsonl.flush()
+        if self._wandb:  # pragma: no cover
+            self._wandb.log(
+                {f"{prefix}/{name}": self._wandb.Table(
+                    columns=list(columns), data=[list(r) for r in rows]
+                )},
+                step=step,
+            )
+
     def close(self):
         if self._jsonl:
             self._jsonl.close()

@@ -245,9 +245,14 @@ def test_two_process_full_pipeline(tmp_path):
     sp_out = _launch_pipeline(workdir, nproc=1, mp=1, outname="sp")
     dp_out = _launch_pipeline(workdir, nproc=2, mp=1, outname="dp")
     tp_out = _launch_pipeline(workdir, nproc=2, mp=2, outname="tp")
+    # combined DP x TP: 4 processes (1 CPU device each) on a
+    # {data:2, model:2} mesh — the 2-D submesh case the reference's dormant
+    # partitioner describes (partitioner.py:150-307) and the in-process
+    # dryrun covers without real process boundaries
+    dptp_out = _launch_pipeline(workdir, nproc=4, mp=2, outname="dptp")
 
     # merged artifacts byte-equal the single-process run
-    for run in ("dp", "tp"):
+    for run in ("dp", "tp", "dptp"):
         for i in range(4):
             assert filecmp.cmp(
                 os.path.join(workdir, "sp", "labels", f"lec{i}.csv"),
@@ -268,12 +273,17 @@ def test_two_process_full_pipeline(tmp_path):
             os.path.join(workdir, run, "hallucination_result.csv"),
             shallow=False,
         ), f"hallucination_result.csv differs in {run}"
-        # both ranks wrote disjoint hyp shards
-        shard0 = open(os.path.join(workdir, run, "idx_hyp.0.txt")).read()
-        shard1 = open(os.path.join(workdir, run, "idx_hyp.1.txt")).read()
-        idx0 = {int(l.split("\t")[0]) for l in shard0.splitlines() if "\t" in l}
-        idx1 = {int(l.split("\t")[0]) for l in shard1.splitlines() if "\t" in l}
-        assert idx0 and idx1 and not (idx0 & idx1)
+        # every rank wrote a disjoint, non-empty hyp shard
+        import glob as _glob
+
+        shards = sorted(_glob.glob(os.path.join(workdir, run, "idx_hyp.*.txt")))
+        assert len(shards) == (4 if run == "dptp" else 2)
+        seen: set = set()
+        for sh in shards:
+            idx = {int(l.split("\t")[0])
+                   for l in open(sh).read().splitlines() if "\t" in l}
+            assert idx and not (idx & seen), f"shard overlap/empty in {run}"
+            seen |= idx
         # distill artifacts: rank-0 HF export + orbax checkpoint
         assert os.path.exists(os.path.join(
             workdir, run, "distill", "hf_export", "model.safetensors"))
@@ -284,6 +294,7 @@ def test_two_process_full_pipeline(tmp_path):
     sp_loss = _final_loss(sp_out)
     assert abs(_final_loss(dp_out) - sp_loss) < 5e-3 * max(abs(sp_loss), 1.0)
     assert abs(_final_loss(tp_out) - sp_loss) < 5e-3 * max(abs(sp_loss), 1.0)
+    assert abs(_final_loss(dptp_out) - sp_loss) < 5e-3 * max(abs(sp_loss), 1.0)
 
 
 def test_two_process_prefilter(tmp_path):

@@ -160,15 +160,28 @@ def test_full_pipeline(tmp_path, model_dirs, byte_tokenizer_dir):
         student_decoder_layers=1,
         run_cfg=DistillRunConfig(
             max_steps=4, batch_size=8, save_steps=4, logging_steps=2,
-            save_total_limit=2,
+            save_total_limit=2, eval_steps=4, gen_eval_batches=1,
+            gen_eval_max_tokens=8,
         ),
         prep_cfg=TrainPrepConfig(max_label_length=48),
         tokenizer_dir=byte_tokenizer_dir,
+        eval_manifest_path=str(seg_manifest),
     )
     assert np.isfinite(metrics["loss"])
     assert (out_dir / "checkpoints" / "checkpoint-4").exists()
     assert (out_dir / "hf_export" / "model.safetensors").exists()
     assert (out_dir / "metrics.jsonl").exists()
+    # gen-eval logs aggregate MER plus per-sample prediction tables incl.
+    # the incorrect-only view (reference run_distillation.py:534-570)
+    records = [json.loads(l) for l in
+               (out_dir / "metrics.jsonl").read_text().splitlines()]
+    tables = {r["table"]: r for r in records if "table" in r}
+    assert "eval/predictions" in tables
+    assert "eval/incorrect_predictions" in tables
+    ptab = tables["eval/predictions"]
+    assert ptab["columns"] == ["pred", "label", "norm_pred", "norm_label"]
+    assert len(ptab["rows"]) > 0 and len(ptab["rows"][0]) == 4
+    assert any("eval/gen_mer" in r for r in records)
 
     # the exported student loads and has 1 decoder layer
     student, scfg = load_model(str(out_dir / "hf_export"))
