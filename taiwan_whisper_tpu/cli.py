@@ -361,9 +361,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "greedy knee (PERF.md)")
     p.add_argument("--energy_vad_threshold", type=float, default=0.0)
     p.add_argument("--vad_mode", default="spectral",
-                   choices=["spectral", "energy", "off"],
+                   choices=["spectral", "spectral-device", "spectral-host",
+                            "energy", "off"],
                    help="region-gated decode: spectral (default; rejects "
-                        "music/noise), energy (RMS only), off (whole file)")
+                        "music/noise; scores on-device on TPU), "
+                        "spectral-device/-host force a scorer backend, "
+                        "energy (RMS only), off (whole file)")
     p.add_argument("--quantize_kv", type=_quant_arg, nargs="?", const=8,
                    default=0, metavar="MODE",
                    help="cross-KV quantization: bare flag or 8 -> int8 "

@@ -226,7 +226,11 @@ def sequential_decode(
         if key not in _cache:
             use_beam = num_beams > 1 and float(temperature) == 0.0
 
-            def fn(mel, prefix, rng, _t=float(temperature), _si=sot_index):
+            # params is an explicit jit argument: closure constants are
+            # serialized into the lowered program, which overflows the
+            # remote-compile payload at real model sizes (HTTP 413)
+            def fn(params, mel, prefix, rng,
+                   _t=float(temperature), _si=sot_index):
                 enc = M.encode(params, mel, config, policy)
                 if use_beam:
                     return beam_decode(
@@ -240,7 +244,7 @@ def sequential_decode(
                     quantize_cross_kv=quantize_cross_kv,
                 )
             _cache[key] = jax.jit(fn)
-        return _cache[key](mel_window, prefix_arr, rng)
+        return _cache[key](params, mel_window, prefix_arr, rng)
 
     sot_seq = tokenizer.sot_sequence(language, task, timestamps=True)
     seek = 0  # in mel frames, like HF/OpenAI
@@ -407,8 +411,10 @@ def chunked_decode(
     chunks = chunk_with_stride(audio, chunk_s, stride_s, stride_s)
     max_len = len(sot_seq) + max_decode_tokens if max_decode_tokens else None
 
+    # params is an explicit jit argument (closure constants overflow the
+    # remote-compile payload at real model sizes — HTTP 413; see label.py)
     @jax.jit
-    def decode_batch(audio_batch, prefix):
+    def decode_batch(params, audio_batch, prefix):
         mel = mel_fn(audio_batch)
         enc = M.encode(params, mel, config, policy)
         if num_beams > 1:
@@ -428,7 +434,7 @@ def chunked_decode(
         pad_n = batch_size - len(batch)
         arr = np.stack([c[0] for c in batch] + [batch[-1][0]] * pad_n)
         prefix = jnp.asarray([sot_seq] * batch_size, jnp.int32)
-        res = decode_batch(jnp.asarray(arr), prefix)
+        res = decode_batch(params, jnp.asarray(arr), prefix)
         tokens = np.asarray(res.tokens)
         lengths = np.asarray(res.lengths)
         for j, (chunk, offset, sl, sr) in enumerate(batch):

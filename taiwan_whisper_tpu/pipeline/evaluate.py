@@ -101,8 +101,11 @@ def evaluate_manifest(
     rules = DecodeRules.from_special(tok.special, timestamps=True)
     sot_len = len(tok.sot_sequence(cfg.language, cfg.task, timestamps=True))
 
+    # params is an explicit jit argument: closure constants get serialized
+    # into the lowered program and overflow the remote-compile payload at
+    # real model sizes (HTTP 413 on the TPU tunnel)
     decode_jit = jax.jit(
-        lambda audio: _decode_short_batch(
+        lambda params, audio: _decode_short_batch(
             params, config, tok, rules, policy, cfg, audio
         )
     )
@@ -123,7 +126,7 @@ def evaluate_manifest(
         sot_seq = tok.sot_sequence(cfg.language, cfg.task, timestamps=True)
 
         @jax.jit
-        def spec_one(audio):
+        def spec_one(params, a_params, audio):
             mel = log_mel(audio[None], config.num_mel_bins)
             t_enc = M.encode(params, mel, config, policy)
             a_mel = log_mel(audio[None], a_config.num_mel_bins)
@@ -138,7 +141,7 @@ def evaluate_manifest(
         for p in audio_paths:
             raw = load_audio_16k(p)
             audio_seconds += min(len(raw), n_window) / 16000.0
-            res = spec_one(jnp.asarray(pad_or_trim(raw, n_window)))
+            res = spec_one(params, a_params, jnp.asarray(pad_or_trim(raw, n_window)))
             ids = np.asarray(res.tokens)[0][len(sot_seq): len(sot_seq) + int(res.length)]
             predictions.append(tok.decode(ids.tolist(), skip_special_tokens=True))
     elif cfg.mode == "short":
@@ -154,7 +157,7 @@ def evaluate_manifest(
             arrs = [pad_or_trim(a, n_window) for a in raw]
             while len(arrs) < bs:
                 arrs.append(np.zeros_like(arrs[0]))
-            tokens, lengths = decode_jit(np.stack(arrs))
+            tokens, lengths = decode_jit(params, np.stack(arrs))
             tokens = np.asarray(tokens)
             for j in range(len(paths)):
                 ids = tokens[j][sot_len:]

@@ -80,6 +80,14 @@ class LabelConfig:
     # per-file chunked_decode calls (kept for A/B and debugging)
     pooled: bool = True
     io_threads: int = 2  # host-side load+VAD prefetch workers (pooled path)
+    # wire format for host->device audio batches. "int16" halves the bytes
+    # and is LOSSLESS for PCM16 wav/flac sources (load divides by 32768, the
+    # wire multiplies back); measured 2x end-to-end on the transfer-bound
+    # labelling path (PERF.md round 4). "float32" for float-native sources.
+    wire_dtype: str = "int16"
+    # device batches staged (uploaded) ahead of the decode loop so transfer
+    # overlaps compute; 2 is enough to hide either side
+    stage_depth: int = 2
     # cap sampled tokens per chunk (None = model max, 448). The labelling
     # throughput numbers in PERF.md use 192 — a realistic long-form budget
     max_decode_tokens: Optional[int] = None
@@ -196,8 +204,14 @@ def _label_files_pooled(
 
     prefix = jnp.asarray([sot_seq] * bs, jnp.int32)
 
+    # params is an explicit argument (NOT a closure): closed-over arrays are
+    # baked into the lowered program as constants, which bloats the compile
+    # payload past the remote-compile tunnel's request limit at real model
+    # sizes (observed as HTTP 413 at whisper-base) and forfeits donation
     @jax.jit
-    def decode_batch(audio_batch, prefix):
+    def decode_batch(params, audio_batch, prefix):
+        if audio_batch.dtype == jnp.int16:  # int16 wire -> f32 on device
+            audio_batch = audio_batch.astype(jnp.float32) / 32768.0
         mel = mel_fn(audio_batch)
         enc = M.encode(params, mel, config, policy)
         if cfg.num_beams > 1:
@@ -227,15 +241,30 @@ def _label_files_pooled(
             rate = stats["audio_seconds"] / max(time.time() - t0, 1e-6)
             print(f"[label] {stats['files']} files, {rate:.1f} audio-s/s")
 
-    def run_batch(batch: List[_ChunkTask]):
+    # staging: a dedicated thread stacks each batch in the wire dtype and
+    # device_puts it so the host->device transfer of batch N+1 overlaps the
+    # decode of batch N (the transfer is the measured bottleneck of the
+    # real driver on tunneled chips — PERF.md round 4)
+    from collections import deque
+
+    stage_pool = ThreadPoolExecutor(max_workers=1)
+    staged: "deque" = deque()  # (batch, future-of-device-array)
+
+    def _stack_and_put(batch: List[_ChunkTask]):
         pad_n = bs - len(batch)
-        arr = np.stack([t.audio for t in batch]
-                       + [batch[-1].audio] * pad_n)
-        res = decode_batch(jnp.asarray(arr), prefix)
+        arr = np.stack([t.audio for t in batch] + [batch[-1].audio] * pad_n)
+        if cfg.wire_dtype == "int16":
+            arr = np.clip(np.round(arr * 32768.0), -32768, 32767
+                          ).astype(np.int16)
+        return jax.device_put(arr)
+
+    def process_oldest():
+        batch, fut = staged.popleft()
+        res = decode_batch(params, fut.result(), prefix)
         tokens = np.asarray(res.tokens)
         lengths = np.asarray(res.lengths)
         stats["batches"] += 1
-        stats["pad_slots"] += pad_n
+        stats["pad_slots"] += bs - len(batch)
         for j, t in enumerate(batch):
             sampled = tokens[j][
                 len(sot_seq): len(sot_seq) + int(lengths[j])
@@ -259,7 +288,11 @@ def _label_files_pooled(
         while len(buffer) >= bs or (force and buffer):
             batch = buffer[:bs]
             del buffer[:bs]
-            run_batch(batch)
+            staged.append((batch, stage_pool.submit(_stack_and_put, batch)))
+            while len(staged) > max(cfg.stage_depth, 1):
+                process_oldest()
+        while force and staged:
+            process_oldest()
 
     def load_one(item):
         idx, path = item
@@ -448,8 +481,10 @@ def _speculative_chunked(
         a_config.encoder_layers == config.encoder_layers
     )
 
+    # params are explicit jit arguments (closure constants overflow the
+    # remote-compile payload at real model sizes — see _label_files_pooled)
     @jax.jit
-    def spec_one(chunk):
+    def spec_one(params, a_params, chunk):
         mel = log_mel(chunk[None], config.num_mel_bins)
         t_enc = M.encode(params, mel, config, policy)
         if shared_encoder:
@@ -468,7 +503,7 @@ def _speculative_chunked(
     accept_rates = []
     for chunk, offset, sl, sr in chunk_with_stride(audio, chunk_s,
                                                    stride_s, stride_s):
-        res = spec_one(jnp.asarray(chunk))
+        res = spec_one(params, a_params, jnp.asarray(chunk))
         sampled = np.asarray(res.tokens)[0][
             len(sot_seq): len(sot_seq) + int(res.length)
         ].tolist()

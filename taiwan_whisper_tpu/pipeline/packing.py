@@ -106,8 +106,10 @@ def label_packed(
     n_window = config.max_source_positions * 2 * 160
     sot_seq = tok.sot_sequence(language, "transcribe", timestamps=timestamps)
 
+    # params is an explicit jit argument (closure constants overflow the
+    # remote-compile payload at real model sizes — HTTP 413; see label.py)
     @jax.jit
-    def decode_batch(audio_batch, prefix):
+    def decode_batch(params, audio_batch, prefix):
         mel = mel_fn(audio_batch)
         enc = M.encode(params, mel, config, policy)
         return greedy_decode(params, enc, prefix, config, rules, policy)
@@ -134,7 +136,7 @@ def label_packed(
         arrs = [pad_or_trim(p.audio.astype(np.float32), n_window) for p in batch]
         while len(arrs) < batch_size:
             arrs.append(np.zeros_like(arrs[0]))
-        res = decode_batch(jnp.asarray(np.stack(arrs)), prefix)
+        res = decode_batch(params, jnp.asarray(np.stack(arrs)), prefix)
         tokens = np.asarray(res.tokens)
         lengths = np.asarray(res.lengths)
         for j, pack in enumerate(batch):

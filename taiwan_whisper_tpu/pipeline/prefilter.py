@@ -60,8 +60,10 @@ def validator_transcribe(
     mel_fn = mel_fn or (lambda a: log_mel(a, config.num_mel_bins))
     sot_seq = tok.sot_sequence(cfg.language, "transcribe", timestamps=True)
 
+    # params is an explicit jit argument (closure constants overflow the
+    # remote-compile payload at real model sizes — HTTP 413; see label.py)
     @jax.jit
-    def decode_batch(audio_batch, prefix):
+    def decode_batch(params, audio_batch, prefix):
         mel = mel_fn(audio_batch)
         enc = M.encode(params, mel, config, policy)
         return greedy_decode(
@@ -87,7 +89,7 @@ def validator_transcribe(
         arrs = list(pool.map(_load, chunk_ids))
         while len(arrs) < bs:  # pad batch for compile stability
             arrs.append(np.zeros_like(arrs[0]))
-        res = decode_batch(jnp.asarray(np.stack(arrs)), prefix)
+        res = decode_batch(params, jnp.asarray(np.stack(arrs)), prefix)
         tokens = np.asarray(res.tokens)
         lengths = np.asarray(res.lengths)
         for j, gi in enumerate(chunk_ids):

@@ -250,13 +250,17 @@ def spectral_block_scores(
 
 
 def spectral_speech_regions(
-    audio: np.ndarray, cfg: SpectralVadConfig = SpectralVadConfig()
+    audio: np.ndarray, cfg: SpectralVadConfig = SpectralVadConfig(),
+    scores: dict = None,
 ) -> List[Tuple[float, float]]:
-    """(start_s, end_s) speech regions; music/steady-noise blocks rejected."""
+    """(start_s, end_s) speech regions; music/steady-noise blocks rejected.
+
+    ``scores`` injects precomputed block scores (e.g. the device scorer,
+    spectral_block_scores_device) — hysteresis/smoothing stay on host."""
     total_s = len(audio) / SAMPLE_RATE
     if total_s <= 0:
         return []
-    sc = spectral_block_scores(audio, cfg)
+    sc = scores if scores is not None else spectral_block_scores(audio, cfg)
     floor = float(np.percentile(sc["energy_db"], cfg.floor_percentile))
     enter = max(min(floor + cfg.enter_db_above_floor, cfg.abs_speech_db),
                 cfg.abs_floor_db)
@@ -291,12 +295,129 @@ def spectral_speech_regions(
                            cfg.min_silence_s)
 
 
+# ---------------------------------------------------------------------------
+# Device (TPU) spectral scorer
+# ---------------------------------------------------------------------------
+
+# fixed scoring segment so the jit program compiles once; files are scored in
+# 120 s pieces (blocks spanning a piece boundary are dropped — ~0.6% of
+# blocks; hysteresis smoothing absorbs the edge)
+_VAD_SEG_S = 120
+_VAD_SEG_SAMPLES = _VAD_SEG_S * SAMPLE_RATE
+
+
+def _device_scorer():
+    """Build (once) the jit'd per-segment scorer. The numpy scorer runs at
+    ~375 audio-s/s per host thread (measured, PERF.md round 4) — on a
+    small-host TPU VM that walls the whole labelling driver, so the STFT /
+    flatness / modulation math moves onto the chip; only the cheap
+    hysteresis stays on host."""
+    import jax
+    import jax.numpy as jnp
+
+    cfg = SpectralVadConfig()
+    window = jnp.asarray(np.hanning(_WIN).astype(np.float32))
+    freqs = np.fft.rfftfreq(_N_FFT, 1.0 / SAMPLE_RATE)
+    band = np.flatnonzero((freqs >= 200) & (freqs <= 6800))
+    lo, hi = int(band[0]), int(band[-1]) + 1  # contiguous
+    edges = np.linspace(0, hi - lo, _N_ENV_BANDS + 1).astype(int)
+    env_mat = np.zeros((hi - lo, _N_ENV_BANDS), np.float32)
+    for b in range(_N_ENV_BANDS):
+        env_mat[edges[b]: edges[b + 1], b] = 1.0 / (edges[b + 1] - edges[b])
+    env_mat = jnp.asarray(env_mat)
+
+    fpb = max(int(cfg.block_s * SAMPLE_RATE / _HOP), 4)
+    hop = max(int(cfg.hop_s * SAMPLE_RATE / _HOP), 1)
+    n_frames = _VAD_SEG_SAMPLES // _HOP
+    nb = (n_frames - fpb) // hop + 1
+    mf = np.fft.rfftfreq(fpb, _HOP / SAMPLE_RATE)
+    syl_mask = jnp.asarray(((mf >= 2) & (mf <= 8)).astype(np.float32))
+    tot_mask = jnp.asarray(((mf >= 0.5) & (mf <= 25)).astype(np.float32))
+    eps = 1e-10
+
+    @jax.jit
+    def score(seg):  # [SEG + WIN] f32 -> (energy_db, flatness, mod) [nb]
+        idx = (jnp.arange(n_frames)[:, None] * _HOP
+               + jnp.arange(_WIN)[None, :])
+        frames = jnp.take(seg, idx) * window
+        spec = jnp.fft.rfft(frames, _N_FFT, axis=1)
+        p = (spec.real ** 2 + spec.imag ** 2).astype(jnp.float32)
+        energy_db = 10.0 * jnp.log10(p.mean(1) + eps)
+        pb = p[:, lo:hi]
+        flatness = jnp.exp(jnp.mean(jnp.log(pb + eps), 1)) / (pb.mean(1) + eps)
+        env = jnp.log(pb @ env_mat + eps)  # [n_frames, 16]
+        bidx = jnp.arange(nb)[:, None] * hop + jnp.arange(fpb)[None, :]
+        env_b = env[bidx]  # [nb, fpb, 16]
+        env_b = env_b - env_b.mean(axis=1, keepdims=True)
+        mod = jnp.abs(jnp.fft.rfft(env_b, axis=1)) ** 2  # [nb, F, 16]
+        syl = jnp.einsum("bfk,f->b", mod, syl_mask)
+        tot = jnp.einsum("bfk,f->b", mod, tot_mask) + eps
+        flat_b = jnp.median(flatness[bidx], axis=1)
+        e_b = energy_db[bidx].mean(axis=1)
+        return e_b, flat_b, syl / tot
+
+    return score, nb, hop
+
+
+_scorer_cache = {}
+
+
+def spectral_block_scores_device(audio: np.ndarray) -> dict:
+    """Device-computed per-block scores; same dict contract as
+    spectral_block_scores (default SpectralVadConfig only). Blocks whose
+    start lies beyond the real audio are trimmed so the zero-pad tail
+    cannot drag the adaptive energy floor."""
+    if "s" not in _scorer_cache:
+        _scorer_cache["s"] = _device_scorer()
+    score, nb, hop = _scorer_cache["s"]
+    import jax.numpy as jnp
+
+    total_s = len(audio) / SAMPLE_RATE
+    n_seg = max(-(-len(audio) // _VAD_SEG_SAMPLES), 1)
+    padded = np.zeros(n_seg * _VAD_SEG_SAMPLES + _WIN, np.float32)
+    padded[: len(audio)] = audio
+    ts, es, fs, ms = [], [], [], []
+    hop_s = hop * _HOP / SAMPLE_RATE
+    for s in range(n_seg):
+        seg = jnp.asarray(
+            padded[s * _VAD_SEG_SAMPLES: (s + 1) * _VAD_SEG_SAMPLES + _WIN]
+        )
+        e, f, m = score(seg)
+        t = s * _VAD_SEG_S + np.arange(nb) * hop_s
+        keep = t < total_s
+        ts.append(t[keep])
+        es.append(np.asarray(e)[keep])
+        fs.append(np.asarray(f)[keep])
+        ms.append(np.asarray(m)[keep])
+    return {
+        "t": np.concatenate(ts),
+        "energy_db": np.concatenate(es),
+        "flatness": np.concatenate(fs),
+        "mod_ratio": np.concatenate(ms),
+    }
+
+
 def detect_speech_regions(
     audio: np.ndarray, mode: str = "spectral"
 ) -> List[Tuple[float, float]]:
-    """Unified entry for the labelling driver: mode in
-    {"spectral", "energy", "off"} ("off" -> whole file is one region)."""
+    """Unified entry for the labelling driver: mode in {"spectral",
+    "spectral-device", "spectral-host", "energy", "off"} ("off" -> whole
+    file is one region). "spectral" auto-routes the score computation to
+    the device on TPU backends (the host scorer walls small hosts) and to
+    numpy elsewhere; the -device/-host suffixes force a backend."""
     if mode == "spectral":
+        try:
+            import jax
+
+            on_tpu = jax.default_backend() == "tpu"
+        except Exception:
+            on_tpu = False
+        mode = "spectral-device" if on_tpu else "spectral-host"
+    if mode == "spectral-device":
+        return spectral_speech_regions(
+            audio, scores=spectral_block_scores_device(audio)
+        )
+    if mode == "spectral-host":
         return spectral_speech_regions(audio)
     if mode == "energy":
         return speech_regions(audio)

@@ -119,6 +119,21 @@ def test_pooled_batches_cross_regions_and_files(tmp_path, corpus, model):
     assert stats["pad_slots"] < 4
 
 
+def test_int16_wire_is_lossless_for_pcm16(tmp_path, corpus, model):
+    """The int16 wire format must reproduce the float32 path bit-for-bit on
+    PCM16 sources (load divides by 32768; the wire multiplies back)."""
+    params, cfg = model
+    tok = WhisperTokenizer(MULTILINGUAL)
+    paths = [str(corpus / f"{n}.wav") for n in ("a", "b")]
+    base = dict(vad_mode="energy", batch_size=4, max_decode_tokens=16)
+    d16, d32 = str(tmp_path / "w16"), str(tmp_path / "w32")
+    label_files(params, cfg, tok, paths, d16,
+                LabelConfig(wire_dtype="int16", **base), log_every=0)
+    label_files(params, cfg, tok, paths, d32,
+                LabelConfig(wire_dtype="float32", **base), log_every=0)
+    assert _read_csvs(d16) == _read_csvs(d32)
+
+
 def test_pooled_resume_skips_existing(tmp_path, corpus, model):
     params, cfg = model
     tok = WhisperTokenizer(MULTILINGUAL)

@@ -205,3 +205,68 @@ def test_spectral_short_audio_no_crash():
     # shorter than one analysis block
     assert spectral_speech_regions(np.zeros(SR // 2, np.float32)) == []
     assert spectral_speech_regions(synth_speech(dur=0.4)) in ([], [(0.0, 0.4)])
+
+
+# ---------------------------------------------------------------------------
+# Device (jax) spectral scorer: same classifications as the numpy scorer
+# ---------------------------------------------------------------------------
+
+def test_device_scorer_matches_host_classification():
+    from taiwan_whisper_tpu.pipeline.vad import (
+        spectral_block_scores_device,
+        spectral_speech_regions,
+    )
+
+    # speech accepted, music/noise rejected — identical verdicts to host
+    for seed in range(2):
+        sp = synth_speech(seed=seed)
+        dev = spectral_speech_regions(
+            sp, scores=spectral_block_scores_device(sp))
+        assert _coverage(dev, 6.0) > 0.6
+        mu = synth_music(seed=seed)
+        assert spectral_speech_regions(
+            mu, scores=spectral_block_scores_device(mu)) == []
+        nz = white_noise(seed=seed)
+        assert spectral_speech_regions(
+            nz, scores=spectral_block_scores_device(nz)) == []
+
+
+def test_device_scorer_scores_close_to_host():
+    from taiwan_whisper_tpu.pipeline.vad import (
+        spectral_block_scores,
+        spectral_block_scores_device,
+    )
+
+    sp = synth_speech(seed=3)
+    host = spectral_block_scores(sp)
+    dev = spectral_block_scores_device(sp)
+    n = min(len(host["mod_ratio"]), len(dev["mod_ratio"]))
+    assert n > 10
+    # same block grid (single-segment audio), near-identical features
+    np.testing.assert_allclose(dev["t"][:n], host["t"][:n], atol=1e-6)
+    np.testing.assert_allclose(dev["mod_ratio"][:n], host["mod_ratio"][:n],
+                               atol=0.02)
+    np.testing.assert_allclose(dev["flatness"][:n], host["flatness"][:n],
+                               atol=0.02)
+    np.testing.assert_allclose(dev["energy_db"][:n], host["energy_db"][:n],
+                               atol=0.5)
+
+
+def test_device_scorer_multi_segment_localization():
+    """>120 s audio spans two scoring segments; region edges must still
+    land within hysteresis tolerance of the host scorer's."""
+    from taiwan_whisper_tpu.pipeline.vad import (
+        spectral_block_scores_device,
+        spectral_speech_regions,
+    )
+
+    mix = np.concatenate([
+        np.zeros(115 * SR, np.float32),
+        synth_speech(seed=9, dur=10.0),   # 115-125 s: crosses the boundary
+        np.zeros(10 * SR, np.float32),
+    ])
+    dev = spectral_speech_regions(
+        mix, scores=spectral_block_scores_device(mix))
+    assert len(dev) == 1
+    a, b = dev[0]
+    assert abs(a - 115.0) < 2.0 and abs(b - 125.0) < 2.0
