@@ -119,11 +119,17 @@ def write_label_csv(path: str, result: LongformResult, tok: WhisperTokenizer):
 
 @dataclasses.dataclass
 class _ChunkTask:
-    """One padded 30 s chunk awaiting decode, tagged for scatter-back."""
+    """One padded 30 s chunk awaiting decode, tagged for scatter-back.
+
+    Offsets stay REGION-RELATIVE and the region start is applied as a
+    post-shift — the same float-op order as the per-file path
+    (chunked_decode then `s.start += region_start`), so CSV timestamps are
+    bit-identical between the two drivers."""
 
     file_idx: int
     audio: np.ndarray  # [chunk_len] fp32, padded
-    offset: float  # ABSOLUTE seconds in the source file
+    region_start: float  # seconds of the VAD region in the source file
+    offset: float  # seconds of this chunk WITHIN the region
     stride_left: float
     stride_right: float
     window_duration: float  # unpadded seconds in this chunk
@@ -131,21 +137,24 @@ class _ChunkTask:
 
 def _file_to_tasks(
     file_idx: int, audio: np.ndarray, cfg: LabelConfig,
-    chunk_s: float, stride_s: float,
+    chunk_s: float, stride_s: float, regions=None,
 ) -> List[_ChunkTask]:
     """Host-side prep of one file: VAD regions -> strided chunks.
 
     Chunk offsets are shifted to the file's absolute timeline here, so the
     consumer's segment arithmetic is identical to chunked_decode's
-    core-region merge (decode/longform.py) with no post-shift."""
+    core-region merge (decode/longform.py) with no post-shift.
+    ``regions`` injects precomputed VAD regions (the pooled driver's
+    batched device scorer)."""
     from ..audio.mel import SAMPLE_RATE
 
-    if cfg.vad_regions and cfg.vad_mode != "off":
-        from .vad import detect_speech_regions
+    if regions is None:
+        if cfg.vad_regions and cfg.vad_mode != "off":
+            from .vad import detect_speech_regions
 
-        regions = detect_speech_regions(audio, cfg.vad_mode)
-    else:
-        regions = [(0.0, len(audio) / SAMPLE_RATE)]
+            regions = detect_speech_regions(audio, cfg.vad_mode)
+        else:
+            regions = [(0.0, len(audio) / SAMPLE_RATE)]
     tasks: List[_ChunkTask] = []
     for a, b in regions:
         span = audio[int(a * SAMPLE_RATE): int(b * SAMPLE_RATE)]
@@ -155,7 +164,7 @@ def _file_to_tasks(
             span, chunk_s, stride_s, stride_s
         ):
             dur = min(chunk_s, len(span) / SAMPLE_RATE - off)
-            tasks.append(_ChunkTask(file_idx, chunk, a + off, sl, sr, dur))
+            tasks.append(_ChunkTask(file_idx, chunk, a, off, sl, sr, dur))
     return tasks
 
 
@@ -229,7 +238,10 @@ def _label_files_pooled(
     states: dict = {}  # file_idx -> {segments, remaining, produced, out_csv}
     buffer: List[_ChunkTask] = []
     stats = dict(files=0, skipped=0, failed=0, audio_seconds=0.0,
-                 chunks=0, batches=0, pad_slots=0)
+                 chunks=0, batches=0, pad_slots=0,
+                 # phase timers (seconds of MAIN-thread wall)
+                 vad_s=0.0, decode_s=0.0, stage_wait_s=0.0, load_wait_s=0.0,
+                 scatter_s=0.0)
     t0 = time.time()
 
     def finish_file(idx):
@@ -256,13 +268,22 @@ def _label_files_pooled(
         if cfg.wire_dtype == "int16":
             arr = np.clip(np.round(arr * 32768.0), -32768, 32767
                           ).astype(np.int16)
-        return jax.device_put(arr)
+        dev = jax.device_put(arr)
+        dev.block_until_ready()  # force the transfer HERE, in the staging
+        # thread — otherwise the lazy upload fires inside the decode
+        # dispatch and serializes with compute on the main thread
+        return dev
 
     def process_oldest():
         batch, fut = staged.popleft()
-        res = decode_batch(params, fut.result(), prefix)
+        tw = time.perf_counter()
+        dev_arr = fut.result()
+        stats["stage_wait_s"] += time.perf_counter() - tw
+        td = time.perf_counter()
+        res = decode_batch(params, dev_arr, prefix)
         tokens = np.asarray(res.tokens)
         lengths = np.asarray(res.lengths)
+        stats["decode_s"] += time.perf_counter() - td
         stats["batches"] += 1
         stats["pad_slots"] += bs - len(batch)
         for j, t in enumerate(batch):
@@ -279,6 +300,8 @@ def _label_files_pooled(
                 if (s.start >= lo or t.stride_left == 0.0) and (
                     s.start < hi or t.stride_right == 0.0
                 ):
+                    s.start += t.region_start  # post-shift: per-file order
+                    s.end += t.region_start
                     st["segments"].append(s)
             st["remaining"] -= 1
             if st["remaining"] == 0 and st["produced"]:
@@ -294,6 +317,16 @@ def _label_files_pooled(
         while force and staged:
             process_oldest()
 
+    # device-batched VAD: spectral scoring on TPU backends goes through
+    # spectral_regions_device_batch so MANY files share one device dispatch
+    # (per-file calls cost a tunnel RTT each — measured 0.39 s/file vs
+    # ~0.03 s of work); host scorers stay in the producer threads
+    from .vad import _VAD_SEG_SAMPLES, _VAD_CALL_SEGS, resolve_vad_mode
+
+    vad_mode = (resolve_vad_mode(cfg.vad_mode)
+                if cfg.vad_regions else "off")
+    batched_vad = vad_mode == "spectral-device"
+
     def load_one(item):
         idx, path = item
         try:
@@ -302,6 +335,8 @@ def _label_files_pooled(
             return idx, None, 0.0, f"{e}"
         if not energy_vad_is_speech(audio, cfg.energy_vad_threshold):
             return idx, [], len(audio) / 16000.0, None
+        if batched_vad:
+            return idx, audio, len(audio) / 16000.0, None  # VAD later
         tasks = _file_to_tasks(idx, audio, cfg, chunk_s, stride_s)
         return idx, tasks, len(audio) / 16000.0, None
 
@@ -315,6 +350,37 @@ def _label_files_pooled(
         todo.append((idx, path))
         states[idx] = dict(segments=[], remaining=0, produced=False,
                            out_csv=out_csv)
+
+    def ingest_tasks(idx, tasks):
+        st = states[idx]
+        st["remaining"] = len(tasks)
+        st["produced"] = True
+        if not tasks:  # no speech anywhere: empty CSV now
+            finish_file(idx)
+            return
+        buffer.extend(tasks)
+        stats["chunks"] += len(tasks)
+        drain()
+
+    vad_pending: List = []  # (idx, audio) awaiting a batched VAD call
+    vad_pending_segs = 0
+
+    def flush_vad(force=False):
+        nonlocal vad_pending, vad_pending_segs
+        if not vad_pending:
+            return
+        if not force and vad_pending_segs < _VAD_CALL_SEGS:
+            return
+        from .vad import spectral_regions_device_batch
+
+        tv = time.perf_counter()
+        regions_list = spectral_regions_device_batch(
+            [a for _, a in vad_pending])
+        stats["vad_s"] += time.perf_counter() - tv
+        for (idx, audio), regions in zip(vad_pending, regions_list):
+            ingest_tasks(idx, _file_to_tasks(
+                idx, audio, cfg, chunk_s, stride_s, regions=regions))
+        vad_pending, vad_pending_segs = [], 0
 
     # bounded look-ahead: io_threads workers prep files while the device
     # decodes; completed files enter the queue in submission order so CSVs
@@ -333,23 +399,24 @@ def _label_files_pooled(
 
         top_up()
         while inflight:
-            idx, tasks, secs, err = inflight.pop(0).result()
+            tl = time.perf_counter()
+            idx, payload, secs, err = inflight.pop(0).result()
+            stats["load_wait_s"] += time.perf_counter() - tl
             top_up()
-            if tasks is None:
+            if payload is None:
                 print(f"[label] failed to read {audio_paths[idx]}: {err}")
                 states.pop(idx)
                 stats["failed"] += 1
                 continue
             stats["audio_seconds"] += secs
-            st = states[idx]
-            st["remaining"] = len(tasks)
-            st["produced"] = True
-            if not tasks:  # no speech anywhere: empty CSV now
-                finish_file(idx)
-                continue
-            buffer.extend(tasks)
-            stats["chunks"] += len(tasks)
-            drain()
+            if batched_vad and isinstance(payload, np.ndarray):
+                vad_pending.append((idx, payload))
+                vad_pending_segs += max(
+                    -(-len(payload) // _VAD_SEG_SAMPLES), 1)
+                flush_vad()
+            else:
+                ingest_tasks(idx, payload)
+        flush_vad(force=True)
         drain(force=True)
 
     assert not states, f"unfinished files: {sorted(states)}"

@@ -335,8 +335,9 @@ def _device_scorer():
     tot_mask = jnp.asarray(((mf >= 0.5) & (mf <= 25)).astype(np.float32))
     eps = 1e-10
 
-    @jax.jit
-    def score(seg):  # [SEG + WIN] f32 -> (energy_db, flatness, mod) [nb]
+    def one_seg(seg):  # [SEG + WIN] i16/f32 -> [3, nb] (energy, flat, mod)
+        if seg.dtype == jnp.int16:  # int16 wire: halves the upload bytes
+            seg = seg.astype(jnp.float32) / 32768.0
         idx = (jnp.arange(n_frames)[:, None] * _HOP
                + jnp.arange(_WIN)[None, :])
         frames = jnp.take(seg, idx) * window
@@ -354,41 +355,78 @@ def _device_scorer():
         tot = jnp.einsum("bfk,f->b", mod, tot_mask) + eps
         flat_b = jnp.median(flatness[bidx], axis=1)
         e_b = energy_db[bidx].mean(axis=1)
-        return e_b, flat_b, syl / tot
+        return jnp.stack([e_b, flat_b, syl / tot])
 
+    # batched over segments, ONE stacked result so the host pays a single
+    # device->host pull per call (each pull is a tunnel round trip)
+    score = jax.jit(jax.vmap(one_seg))  # [K, SEG+WIN] -> [K, 3, nb]
     return score, nb, hop
 
 
 _scorer_cache = {}
+# segments per device call: fixed so the program compiles once; multiple
+# files' segments ride one dispatch (per-call tunnel RTT dominated the
+# per-file scorer — measured 0.39 s/file vs ~0.03 s of actual work)
+_VAD_CALL_SEGS = 8
 
 
-def spectral_block_scores_device(audio: np.ndarray) -> dict:
-    """Device-computed per-block scores; same dict contract as
-    spectral_block_scores (default SpectralVadConfig only). Blocks whose
-    start lies beyond the real audio are trimmed so the zero-pad tail
+def _score_segments(seg_batch: np.ndarray) -> np.ndarray:
+    """[K, SEG+WIN] i16 -> [K, 3, nb] numpy (K padded to _VAD_CALL_SEGS)."""
+    if "s" not in _scorer_cache:
+        _scorer_cache["s"] = _device_scorer()
+    score, _, _ = _scorer_cache["s"]
+    import jax
+
+    k = seg_batch.shape[0]
+    pad = (-k) % _VAD_CALL_SEGS
+    if pad:
+        seg_batch = np.concatenate(
+            [seg_batch,
+             np.zeros((pad,) + seg_batch.shape[1:], seg_batch.dtype)]
+        )
+    outs = []
+    for s in range(0, seg_batch.shape[0], _VAD_CALL_SEGS):
+        # device_put (not a jit numpy arg): measured several times faster
+        # for fresh buffers on the tunnel; block so the transfer really
+        # happens here and not inside the scoring dispatch
+        dev = jax.device_put(seg_batch[s: s + _VAD_CALL_SEGS])
+        dev.block_until_ready()
+        outs.append(np.asarray(score(dev)))
+    return np.concatenate(outs)[:k]
+
+
+def _file_segments(audio: np.ndarray) -> np.ndarray:
+    """Pad + slice one file into [n_seg, SEG+WIN] int16 scoring segments.
+
+    int16 wire: both the batched and per-file device scorers quantize the
+    SAME way, so their scores are bit-identical; quantization noise on the
+    features is ~1e-4, far below the hysteresis thresholds."""
+    n_seg = max(-(-len(audio) // _VAD_SEG_SAMPLES), 1)
+    i16 = np.clip(np.round(audio.astype(np.float32) * 32768.0),
+                  -32768, 32767).astype(np.int16)
+    padded = np.zeros(n_seg * _VAD_SEG_SAMPLES + _WIN, np.int16)
+    padded[: len(i16)] = i16
+    return np.stack([
+        padded[s * _VAD_SEG_SAMPLES: (s + 1) * _VAD_SEG_SAMPLES + _WIN]
+        for s in range(n_seg)
+    ])
+
+
+def _scores_dict(raw: np.ndarray, total_s: float) -> dict:
+    """[n_seg, 3, nb] -> score dict, zero-pad tail blocks trimmed so they
     cannot drag the adaptive energy floor."""
     if "s" not in _scorer_cache:
         _scorer_cache["s"] = _device_scorer()
-    score, nb, hop = _scorer_cache["s"]
-    import jax.numpy as jnp
-
-    total_s = len(audio) / SAMPLE_RATE
-    n_seg = max(-(-len(audio) // _VAD_SEG_SAMPLES), 1)
-    padded = np.zeros(n_seg * _VAD_SEG_SAMPLES + _WIN, np.float32)
-    padded[: len(audio)] = audio
-    ts, es, fs, ms = [], [], [], []
+    _, nb, hop = _scorer_cache["s"]
     hop_s = hop * _HOP / SAMPLE_RATE
-    for s in range(n_seg):
-        seg = jnp.asarray(
-            padded[s * _VAD_SEG_SAMPLES: (s + 1) * _VAD_SEG_SAMPLES + _WIN]
-        )
-        e, f, m = score(seg)
+    ts, es, fs, ms = [], [], [], []
+    for s in range(raw.shape[0]):
         t = s * _VAD_SEG_S + np.arange(nb) * hop_s
         keep = t < total_s
         ts.append(t[keep])
-        es.append(np.asarray(e)[keep])
-        fs.append(np.asarray(f)[keep])
-        ms.append(np.asarray(m)[keep])
+        es.append(raw[s, 0][keep])
+        fs.append(raw[s, 1][keep])
+        ms.append(raw[s, 2][keep])
     return {
         "t": np.concatenate(ts),
         "energy_db": np.concatenate(es),
@@ -397,22 +435,57 @@ def spectral_block_scores_device(audio: np.ndarray) -> dict:
     }
 
 
+def spectral_block_scores_device(audio: np.ndarray) -> dict:
+    """Device-computed per-block scores; same dict contract as
+    spectral_block_scores (default SpectralVadConfig only)."""
+    segs = _file_segments(audio)
+    return _scores_dict(_score_segments(segs), len(audio) / SAMPLE_RATE)
+
+
+def spectral_regions_device_batch(
+    audios: "List[np.ndarray]",
+) -> "List[List[Tuple[float, float]]]":
+    """Speech regions for MANY files with minimal device dispatches: all
+    files' scoring segments are concatenated into _VAD_CALL_SEGS-sized
+    device calls (one result pull each); hysteresis runs per file on host.
+    The batch entry point the pooled labelling driver feeds."""
+    if not audios:
+        return []
+    seg_groups = [_file_segments(a) for a in audios]
+    counts = [g.shape[0] for g in seg_groups]
+    raw = _score_segments(np.concatenate(seg_groups))
+    out = []
+    pos = 0
+    for audio, n in zip(audios, counts):
+        total_s = len(audio) / SAMPLE_RATE
+        sc = _scores_dict(raw[pos: pos + n], total_s)
+        out.append(spectral_speech_regions(audio, scores=sc))
+        pos += n
+    return out
+
+
+def resolve_vad_mode(mode: str) -> str:
+    """"spectral" auto-routes score computation to the device on TPU
+    backends (the host scorer walls small hosts) and to numpy elsewhere;
+    the -device/-host suffixes force a backend."""
+    if mode != "spectral":
+        return mode
+    try:
+        import jax
+
+        on_tpu = jax.default_backend() == "tpu"
+    except Exception:
+        on_tpu = False
+    return "spectral-device" if on_tpu else "spectral-host"
+
+
 def detect_speech_regions(
     audio: np.ndarray, mode: str = "spectral"
 ) -> List[Tuple[float, float]]:
     """Unified entry for the labelling driver: mode in {"spectral",
     "spectral-device", "spectral-host", "energy", "off"} ("off" -> whole
-    file is one region). "spectral" auto-routes the score computation to
-    the device on TPU backends (the host scorer walls small hosts) and to
-    numpy elsewhere; the -device/-host suffixes force a backend."""
-    if mode == "spectral":
-        try:
-            import jax
-
-            on_tpu = jax.default_backend() == "tpu"
-        except Exception:
-            on_tpu = False
-        mode = "spectral-device" if on_tpu else "spectral-host"
+    file is one region)."""
+    mode = resolve_vad_mode(mode)
     if mode == "spectral-device":
         return spectral_speech_regions(
             audio, scores=spectral_block_scores_device(audio)

@@ -219,3 +219,31 @@ def test_validation_manifest_live_cer(tmp_path, corpus, model):
     assert v["n_files"] == 2
     assert 0.0 <= v["mer"]  # random weights -> garbage, but a real number
     assert "en_wer" in v and "zh_cer" in v
+
+
+def test_pooled_batched_device_vad(tmp_path, model):
+    """vad_mode=spectral-device routes VAD through the batched device
+    scorer inside the pooled driver; CSVs must match the per-file path run
+    with the same scorer."""
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from profile_label_driver import synth_lecture
+
+    params, cfg = model
+    tok = WhisperTokenizer(MULTILINGUAL)
+    d = tmp_path / "speech_corpus"
+    d.mkdir()
+    rng = np.random.RandomState(5)
+    paths = []
+    for i in range(3):
+        p = str(d / f"s{i}.wav")
+        write_wav(p, synth_lecture(rng, 20.0))
+        paths.append(p)
+    base = dict(vad_mode="spectral-device", batch_size=4, max_decode_tokens=16)
+    pooled_dir, plain_dir = str(tmp_path / "pooled"), str(tmp_path / "plain")
+    sp = label_files(params, cfg, tok, paths, pooled_dir,
+                     LabelConfig(pooled=True, **base), log_every=0)
+    label_files(params, cfg, tok, paths, plain_dir,
+                LabelConfig(pooled=False, **base), log_every=0)
+    assert sp["files"] == 3 and sp["chunks"] > 0
+    assert _read_csvs(pooled_dir) == _read_csvs(plain_dir)

@@ -244,10 +244,13 @@ def test_device_scorer_scores_close_to_host():
     assert n > 10
     # same block grid (single-segment audio), near-identical features
     np.testing.assert_allclose(dev["t"][:n], host["t"][:n], atol=1e-6)
+    # the device scorer ships audio as int16 (wire-size halving); the
+    # quantization perturbs low-energy sub-band modulation a little —
+    # bounded at 0.05, far from the 0.44/0.50 hysteresis thresholds
     np.testing.assert_allclose(dev["mod_ratio"][:n], host["mod_ratio"][:n],
-                               atol=0.02)
+                               atol=0.05)
     np.testing.assert_allclose(dev["flatness"][:n], host["flatness"][:n],
-                               atol=0.02)
+                               atol=0.05)
     np.testing.assert_allclose(dev["energy_db"][:n], host["energy_db"][:n],
                                atol=0.5)
 
