@@ -85,6 +85,14 @@ class LabelConfig:
     # wire multiplies back); measured 2x end-to-end on the transfer-bound
     # labelling path (PERF.md round 4). "float32" for float-native sources.
     wire_dtype: str = "int16"
+    # transport architecture of the pooled path:
+    #   "resident" — upload each file ONCE as flat int16 into device-resident
+    #     group buffers; VAD scoring AND 30 s chunk gathers read the resident
+    #     stream (pipeline/label_resident.py). Halves wire bytes again and
+    #     removes host chunk stacking; supports spectral/off VAD.
+    #   "chunks"  — stage stacked chunk batches per decode call.
+    #   "auto"    — resident when eligible, else chunks.
+    wire_mode: str = "auto"
     # device batches staged (uploaded) ahead of the decode loop so transfer
     # overlaps compute; 2 is enough to hide either side
     stage_depth: int = 2
@@ -441,6 +449,25 @@ def label_files(
     os.makedirs(output_dir, exist_ok=True)
     if (cfg.strategy == "chunked" and cfg.pooled
             and not (cfg.speculative and assistant is not None)):
+        resident_ok = (
+            cfg.wire_mode in ("auto", "resident")
+            and mel_fn is None
+            and (not cfg.vad_regions
+                 or cfg.vad_mode in ("spectral", "spectral-device", "off"))
+        )
+        if cfg.wire_mode == "resident" or (
+            cfg.wire_mode == "auto" and resident_ok
+        ):
+            if resident_ok:
+                from .label_resident import label_files_resident
+
+                return label_files_resident(
+                    params, config, tok, audio_paths, output_dir, cfg,
+                    policy, log_every=log_every,
+                )
+            raise ValueError(
+                "wire_mode='resident' requires spectral/off VAD and the "
+                "default mel path")
         return _label_files_pooled(
             params, config, tok, audio_paths, output_dir, cfg, policy,
             mel_fn=mel_fn, log_every=log_every,

@@ -1,0 +1,150 @@
+"""Device-resident pooled labelling (pipeline/label_resident.py).
+
+One int16 upload per file; VAD scores and 30 s chunk rows both read the
+resident stream. These tests pin CSV parity with the per-file path,
+multi-group streaming (files larger than one group buffer), vad-off mode,
+and resume behavior — all on the CPU backend (the jax scorer and gather
+paths are backend-agnostic).
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+from taiwan_whisper_tpu.audio.io import write_wav
+from taiwan_whisper_tpu.models.config import WhisperConfig
+from taiwan_whisper_tpu.models.params import init_params
+from taiwan_whisper_tpu.pipeline.label import LabelConfig, label_files
+from taiwan_whisper_tpu.text.tokenizer import MULTILINGUAL, WhisperTokenizer
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+
+SR = 16000
+
+
+def tiny_cfg():
+    return WhisperConfig(
+        vocab_size=MULTILINGUAL.vocab_size,
+        d_model=64, ffn_dim=128,
+        encoder_layers=1, decoder_layers=2, encoder_attention_heads=4,
+        decoder_attention_heads=4, max_source_positions=60,
+        max_target_positions=48,
+    )
+
+
+@pytest.fixture(scope="module")
+def model():
+    cfg = tiny_cfg()
+    return init_params(cfg, seed=0), cfg
+
+
+@pytest.fixture(scope="module")
+def speech_corpus(tmp_path_factory):
+    from profile_label_driver import synth_lecture
+
+    d = tmp_path_factory.mktemp("resident_corpus")
+    rng = np.random.RandomState(11)
+    paths = []
+    for i, secs in enumerate((20.0, 35.0, 15.0)):
+        p = str(d / f"r{i}.wav")
+        write_wav(p, synth_lecture(rng, secs))
+        paths.append(p)
+    return paths
+
+
+def _read_csvs(out_dir):
+    out = {}
+    for name in sorted(os.listdir(out_dir)):
+        if name.endswith(".csv"):
+            with open(os.path.join(out_dir, name), "rb") as f:
+                out[name] = f.read()
+    return out
+
+
+def test_resident_matches_per_file_path(tmp_path, model, speech_corpus):
+    params, cfg = model
+    tok = WhisperTokenizer(MULTILINGUAL)
+    base = dict(vad_mode="spectral-device", batch_size=4,
+                max_decode_tokens=16)
+    res_dir, plain_dir = str(tmp_path / "res"), str(tmp_path / "plain")
+    stats = label_files(params, cfg, tok, speech_corpus, res_dir,
+                        LabelConfig(wire_mode="resident", **base),
+                        log_every=0)
+    label_files(params, cfg, tok, speech_corpus, plain_dir,
+                LabelConfig(pooled=False, **base), log_every=0)
+    assert stats["files"] == 3 and stats["chunks"] > 0
+    assert stats["groups"] >= 1
+    assert _read_csvs(res_dir) == _read_csvs(plain_dir)
+
+
+def test_resident_is_the_auto_default(tmp_path, model, speech_corpus):
+    params, cfg = model
+    tok = WhisperTokenizer(MULTILINGUAL)
+    stats = label_files(
+        params, cfg, tok, speech_corpus[:1], str(tmp_path / "out"),
+        LabelConfig(vad_mode="spectral-device", batch_size=4,
+                    max_decode_tokens=16),
+        log_every=0,
+    )
+    assert "groups" in stats  # resident-path stats key
+
+
+def test_resident_multi_group_stream(tmp_path, model):
+    """A file longer than one group buffer spans groups; chunks crossing
+    the boundary decode via the (g, g+1) buffer pair. Uses a shrunken
+    group size so the test stays fast."""
+    from profile_label_driver import synth_lecture
+    from taiwan_whisper_tpu.pipeline import label_resident as LR
+
+    params, cfg = model
+    tok = WhisperTokenizer(MULTILINGUAL)
+    old = (LR.CAP_SEGS, LR.L_STREAM, LR.L_BUF)
+    LR.CAP_SEGS = 1  # one 120 s segment per group
+    LR.L_STREAM = LR.CAP_SEGS * LR.SEG
+    LR.L_BUF = LR.L_STREAM + LR._WIN
+    try:
+        rng = np.random.RandomState(13)
+        p = str(tmp_path / "long.wav")
+        write_wav(p, synth_lecture(rng, 150.0))  # 2 segments -> 2 groups
+        base = dict(vad_mode="spectral-device", batch_size=4,
+                    max_decode_tokens=16)
+        res_dir, plain_dir = str(tmp_path / "res"), str(tmp_path / "plain")
+        stats = label_files(params, cfg, tok, [p], res_dir,
+                            LabelConfig(wire_mode="resident", **base),
+                            log_every=0)
+        assert stats["groups"] == 2
+        label_files(params, cfg, tok, [p], plain_dir,
+                    LabelConfig(pooled=False, **base), log_every=0)
+        assert _read_csvs(res_dir) == _read_csvs(plain_dir)
+    finally:
+        LR.CAP_SEGS, LR.L_STREAM, LR.L_BUF = old
+
+
+def test_resident_vad_off_and_resume(tmp_path, model, speech_corpus):
+    params, cfg = model
+    tok = WhisperTokenizer(MULTILINGUAL)
+    out = str(tmp_path / "out")
+    lc = LabelConfig(wire_mode="resident", vad_mode="off",
+                     vad_regions=False, batch_size=4, max_decode_tokens=16)
+    s1 = label_files(params, cfg, tok, speech_corpus[:2], out, lc,
+                     log_every=0)
+    assert s1["files"] == 2 and s1["chunks"] > 0
+    s2 = label_files(params, cfg, tok, speech_corpus, out, lc, log_every=0)
+    assert s2["skipped"] == 2 and s2["files"] == 1
+
+
+def test_resident_tolerates_unreadable(tmp_path, model, speech_corpus):
+    params, cfg = model
+    tok = WhisperTokenizer(MULTILINGUAL)
+    bad = str(tmp_path / "bad.wav")
+    with open(bad, "wb") as f:
+        f.write(b"nope")
+    stats = label_files(
+        params, cfg, tok, [speech_corpus[0], bad], str(tmp_path / "out"),
+        LabelConfig(wire_mode="resident", vad_mode="spectral-device",
+                    batch_size=4, max_decode_tokens=16),
+        log_every=0,
+    )
+    assert stats["files"] == 1 and stats["failed"] == 1
