@@ -421,9 +421,10 @@ def quantize_cross_kv(cross_kv, bits=8) -> QuantCrossKV:
     int8 halves the dominant HBM stream of the decode loop (PERF.md);
     int4 (native jnp.int4 packed storage) quarters the bytes but pays a
     VPU unpack — measured SLOWER than int8 at whisper-base shapes
-    (PERF.md "measured non-levers"); see PERF.md's large-v2 grid for the
-    large-model ranking, and validate WER before enabling on a
-    production labelling run.
+    (PERF.md "measured non-levers") yet FASTEST at large-v2 shapes where
+    bytes dominate (146 vs 114 audio-s/s greedy, PERF.md round 4
+    "large-v2 grid"); validate WER before enabling on a production
+    labelling run (tools/accuracy_quant.py).
     ``bits="fp8"`` stores float8_e4m3fn at the same byte width as int8 but
     with a hardware cast path on the dequant (no round/clip pass) and
     per-channel scaling into fp8's full 448 range.

@@ -157,13 +157,15 @@ def main():
     print(f"  synthetic loop: {synth_rate:.1f} audio-s/s")
 
     results = {"synthetic_loop": synth_rate}
-    variants = [("pooled_driver", True)]
+    variants = [("resident_driver", True, "resident"),
+                ("staged_driver", True, "chunks")]
     if with_per_file:
-        variants.append(("per_file_driver", False))
-    for name, pooled in variants:
+        variants.append(("per_file_driver", False, "chunks"))
+    for name, pooled, wire_mode in variants:
         cfg = LabelConfig(batch_size=BATCH, quantize_kv=8,
                           max_decode_tokens=BUDGET, pooled=pooled,
-                          vad_mode="spectral", io_threads=2)
+                          vad_mode="spectral", io_threads=2,
+                          wire_mode=wire_mode)
         if pooled:
             # steady-state: one warmup pass over 4 files compiles the decode
             # + VAD programs (a production run pays this once per process)

@@ -46,7 +46,7 @@ rules = DecodeRules.from_special(MULTILINGUAL, timestamps=True)
 on_tpu = jax.devices()[0].platform != "cpu"
 
 
-def run(batch, beams, quant, iters=3):
+def run(batch, beams, quant, iters=3, unroll=0):
     prefix = jnp.asarray(
         [tok.sot_sequence("zh", "transcribe")] * batch, jnp.int32
     )
@@ -59,7 +59,8 @@ def run(batch, beams, quant, iters=3):
         if beams:
             return beam_decode(params, enc, prefix, config, rules, policy,
                                num_beams=beams, max_len=max_len,
-                               quantize_cross_kv=quant).tokens
+                               quantize_cross_kv=quant,
+                               scan_unroll=unroll).tokens
         return greedy_decode(params, enc, prefix, config, rules, policy,
                              max_len=max_len, quantize_cross_kv=quant).tokens
 
@@ -79,16 +80,24 @@ GRID = [
     ("greedy_bf16", 0, 0, [16, 32]),
     ("greedy_int8", 0, 8, [16, 32]),
     ("greedy_fp8", 0, "fp8", [32]),
-    ("greedy_int4", 0, 4, [32]),
+    ("greedy_int4", 0, 4, [16, 32, 48]),
     ("beam5_int8", 5, 8, [8, 16]),  # the shipping label_large_v2 config
+    ("beam5_int4", 5, 4, [8, 16]),
+    # remote-compile helper crashed on the auto-unroll(4) beam programs at
+    # 32 decoder layers; unroll=1 shrinks the lowered program
+    ("beam5_int8_u1", (5, 1), 8, [8, 16]),
 ]
 
 if __name__ == "__main__":
+    only = sys.argv[1:]  # optional variant-name substrings to run
     out = {"preset": "large-v2", "budget": BUDGET, "rows": []}
     for name, beams, quant, batches in GRID:
+        if only and not any(o in name for o in only):
+            continue
+        beams, unroll = beams if isinstance(beams, tuple) else (beams, 0)
         for b in batches:
             try:
-                thr = run(b, beams, quant)
+                thr = run(b, beams, quant, unroll=unroll)
                 row = {"variant": name, "batch": b, "audio_s_per_s": thr}
             except Exception as e:
                 row = {"variant": name, "batch": b, "error": repr(e)[:160]}

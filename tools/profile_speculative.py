@@ -76,6 +76,9 @@ def main():
     ap.add_argument("--budget", type=int, default=192)
     ap.add_argument("--draft", type=int, default=5)
     ap.add_argument("--chunks", type=int, default=8)
+    ap.add_argument("--audio-seed", type=int, default=11,
+                    help="101 reproduces train_draft_student's corpus "
+                         "(in-domain acceptance); 11 = held-out draws")
     args = ap.parse_args()
 
     t_cfg = get_config(args.preset)
@@ -101,7 +104,7 @@ def main():
     on_tpu = jax.devices()[0].platform != "cpu"
     mel_fn = log_mel_pallas if on_tpu else log_mel
 
-    rng = np.random.RandomState(11)
+    rng = np.random.RandomState(args.audio_seed)
     chunks = [synth_speech(rng, 30.0)[:N_SAMPLES] for _ in range(args.chunks)]
     chunks = [np.pad(c, (0, N_SAMPLES - len(c))) for c in chunks]
 
