@@ -94,7 +94,12 @@ def beam_decode(
     k = num_beams
     max_len = max_len or config.max_target_positions
     if scan_unroll == 0:
-        scan_unroll = config.decoder_layers if config.decoder_layers <= 8 else 4
+        # beam programs are ~K x larger than greedy; at 32 decoder layers
+        # the unroll-4 beam program crashes the TPU compiler helper
+        # (PERF.md round 4, large-v2 grid) while unroll-1 compiles and
+        # runs at 24.9 audio-s/s. Shallow (distilled) decoders still
+        # unroll fully — that is where unrolling measured its win.
+        scan_unroll = config.decoder_layers if config.decoder_layers <= 8 else 1
     eot = rules.eot
     ts_begin = rules.timestamp_begin
 

@@ -108,6 +108,13 @@ class _FileState:
     segments: list = dataclasses.field(default_factory=list)
     remaining: int = -1  # chunks not yet decoded (-1: regions not known yet)
 
+    def touched_groups(self, l_stream: int):
+        if self.n_seg == 0:
+            return range(0)
+        first = self.stream_base // l_stream
+        last = (self.stream_base + self.n_seg * SEG - 1) // l_stream
+        return range(first, last + 1)
+
 
 def label_files_resident(
     params,
@@ -165,8 +172,11 @@ def label_files_resident(
     def decode_from_bufs(params, buf_a, buf_b, starts, valid, prefix):
         # virtual stream: group g then group g+1 (drop g's VAD overlap tail)
         virt = jnp.concatenate([buf_a[:L_STREAM], buf_b])
-        pos = starts[:, None] + jnp.arange(chunk_len)[None, :]
-        rows = jnp.take(virt, pos)  # [bs, chunk_len] i16
+        # contiguous per-row extraction MUST be dynamic_slice, not take:
+        # a [bs, chunk_len] index-matrix gather measured 16x slower on chip
+        rows = jax.vmap(
+            lambda s: jax.lax.dynamic_slice(virt, (s,), (chunk_len,))
+        )(starts)  # [bs, chunk_len] i16
         audio = jnp.where(
             jnp.arange(chunk_len)[None, :] < valid[:, None], rows, 0
         ).astype(jnp.float32) / 32768.0
@@ -192,11 +202,15 @@ def label_files_resident(
     t0 = time.time()
 
     files: Dict[int, _FileState] = {}
+    group_open_files: Dict[int, int] = {}  # unfinished files touching group
 
     def finish_file(fs: _FileState):
         fs.segments.sort(key=lambda s: s.start)
         write_label_csv(fs.out_csv, LongformResult(fs.segments), tok)
         files.pop(fs.idx)
+        for g in fs.touched_groups(L_STREAM):
+            group_open_files[g] -= 1
+        free_groups()
         stats["files"] += 1
         if log_every and stats["files"] % log_every == 0:
             rate = stats["audio_seconds"] / max(time.time() - t0, 1e-6)
@@ -262,18 +276,25 @@ def label_files_resident(
     # ---- VAD + region -> tasks ------------------------------------------
     vad_enabled = cfg.vad_regions and cfg.vad_mode != "off"
 
+    def pump_uploads():
+        """Receive the next uploaded group; score it and deliver tasks.
+        May recurse into drain/run_batch via deliver_scores."""
+        tg, fut = upload_futs.popleft()
+        tw = time.perf_counter()
+        dev_groups[tg] = fut.result()
+        stats["upload_wait_s"] += time.perf_counter() - tw
+        if vad_enabled:
+            tv = time.perf_counter()
+            scores = np.asarray(vad_group(dev_groups[tg]))  # [CAP,3,nb]
+            stats["vad_s"] += time.perf_counter() - tv
+            deliver_scores(tg, scores)
+
     def ensure_group(g) -> object:
+        # callers hold a live task for g (refcounted), so g cannot be freed
+        # by the pump recursion; if g is absent its upload must be pending
         while g not in dev_groups:
             assert upload_futs, f"group {g} unavailable (freed or unsealed)"
-            tg, fut = upload_futs.popleft()
-            tw = time.perf_counter()
-            dev_groups[tg] = fut.result()
-            stats["upload_wait_s"] += time.perf_counter() - tw
-            if vad_enabled:
-                tv = time.perf_counter()
-                scores = np.asarray(vad_group(dev_groups[tg]))  # [CAP,3,nb]
-                stats["vad_s"] += time.perf_counter() - tv
-                deliver_scores(tg, scores)
+            pump_uploads()
         return dev_groups[g]
 
     def deliver_scores(g, scores):
@@ -384,11 +405,15 @@ def label_files_resident(
         free_groups()
 
     def free_groups():
-        # a group may be dropped once no queued/in-flight task references
-        # it or its predecessor slot (batches read the pair (g, g+1))
+        # a group stays resident while (a) any unfinished file's content
+        # touches it (its tasks may not even exist yet), (b) any created
+        # task still references it, or (c) it may serve as a batch's
+        # neighbour buffer (predecessor of an active group)
         min_active = min((t.group for t in task_q), default=group_no)
         for g in list(dev_groups):
-            if group_pending_chunks.get(g, 0) <= 0 and g < min_active - 1:
+            if (group_open_files.get(g, 0) <= 0
+                    and group_pending_chunks.get(g, 0) <= 0
+                    and g < min_active - 1):
                 dev_groups.pop(g, None)
 
     draining = [False]  # reentrancy guard: ensure_group -> deliver_scores
@@ -479,6 +504,8 @@ def label_files_resident(
             )
             fs.stream_base = stream_write(padded)
             files[idx] = fs
+            for g in fs.touched_groups(L_STREAM):
+                group_open_files[g] = group_open_files.get(g, 0) + 1
             if vad_enabled:
                 vad_waiting.append(fs)
             else:
@@ -486,11 +513,11 @@ def label_files_resident(
                     fs, regions=[(0.0, fs.n_samples / SAMPLE_RATE)])
             # score any groups already sealed + uploaded
             while upload_futs and upload_futs[0][1].done():
-                ensure_group(upload_futs[0][0])
+                pump_uploads()
             drain()
         seal_group()
         while upload_futs:
-            ensure_group(upload_futs[0][0])
+            pump_uploads()
         drain(force=True)
 
     assert not files, f"unfinished files: {sorted(files)}"

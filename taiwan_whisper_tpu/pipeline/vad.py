@@ -335,26 +335,44 @@ def _device_scorer():
     tot_mask = jnp.asarray(((mf >= 0.5) & (mf <= 25)).astype(np.float32))
     eps = 1e-10
 
+    # strided views are built from reshapes of shifted slices, NEVER from
+    # index-matrix gathers — TPU lowers those to scalar gather (measured
+    # 16x slower than slicing for the equivalent chunk extraction)
+    def _frame(seg):  # [SEG+WIN] -> [n_frames, WIN] overlapping frames
+        hops_per_win = -(-_WIN // _HOP)  # 3 for 400/160
+        parts = [
+            jax.lax.dynamic_slice(seg, (k * _HOP,), (n_frames * _HOP,))
+            .reshape(n_frames, _HOP)
+            for k in range(hops_per_win)
+        ]
+        return jnp.concatenate(parts, axis=1)[:, :_WIN]
+
+    def _block(x, reduce_last=False):
+        # [n_frames, ...] -> [nb, fpb, ...] (hop 25, fpb 100 -> 4 shifts)
+        shifts = fpb // hop
+        r = x.reshape(n_frames // hop, hop, *x.shape[1:])
+        return jnp.concatenate(
+            [r[k: r.shape[0] - (shifts - 1) + k] for k in range(shifts)],
+            axis=1,
+        )
+
     def one_seg(seg):  # [SEG + WIN] i16/f32 -> [3, nb] (energy, flat, mod)
         if seg.dtype == jnp.int16:  # int16 wire: halves the upload bytes
             seg = seg.astype(jnp.float32) / 32768.0
-        idx = (jnp.arange(n_frames)[:, None] * _HOP
-               + jnp.arange(_WIN)[None, :])
-        frames = jnp.take(seg, idx) * window
+        frames = _frame(seg) * window
         spec = jnp.fft.rfft(frames, _N_FFT, axis=1)
         p = (spec.real ** 2 + spec.imag ** 2).astype(jnp.float32)
         energy_db = 10.0 * jnp.log10(p.mean(1) + eps)
         pb = p[:, lo:hi]
         flatness = jnp.exp(jnp.mean(jnp.log(pb + eps), 1)) / (pb.mean(1) + eps)
         env = jnp.log(pb @ env_mat + eps)  # [n_frames, 16]
-        bidx = jnp.arange(nb)[:, None] * hop + jnp.arange(fpb)[None, :]
-        env_b = env[bidx]  # [nb, fpb, 16]
+        env_b = _block(env)  # [nb, fpb, 16]
         env_b = env_b - env_b.mean(axis=1, keepdims=True)
         mod = jnp.abs(jnp.fft.rfft(env_b, axis=1)) ** 2  # [nb, F, 16]
         syl = jnp.einsum("bfk,f->b", mod, syl_mask)
         tot = jnp.einsum("bfk,f->b", mod, tot_mask) + eps
-        flat_b = jnp.median(flatness[bidx], axis=1)
-        e_b = energy_db[bidx].mean(axis=1)
+        flat_b = jnp.median(_block(flatness), axis=1)
+        e_b = _block(energy_db).mean(axis=1)
         return jnp.stack([e_b, flat_b, syl / tot])
 
     # batched over segments, ONE stacked result so the host pays a single

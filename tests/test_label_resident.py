@@ -148,3 +148,36 @@ def test_resident_tolerates_unreadable(tmp_path, model, speech_corpus):
         log_every=0,
     )
     assert stats["files"] == 1 and stats["failed"] == 1
+
+
+def test_resident_many_groups_freeing(tmp_path, model):
+    """Regression: groups must stay resident until every file touching
+    them is finished — freeing on task-queue emptiness alone crashed the
+    160-file TPU run ('group N unavailable')."""
+    from profile_label_driver import synth_lecture
+    from taiwan_whisper_tpu.pipeline import label_resident as LR
+
+    params, cfg = model
+    tok = WhisperTokenizer(MULTILINGUAL)
+    old = (LR.CAP_SEGS, LR.L_STREAM, LR.L_BUF)
+    LR.CAP_SEGS = 1
+    LR.L_STREAM = LR.CAP_SEGS * LR.SEG
+    LR.L_BUF = LR.L_STREAM + LR._WIN
+    try:
+        rng = np.random.RandomState(21)
+        paths = []
+        d = tmp_path / "c"
+        d.mkdir()
+        for i in range(5):  # 5 files -> 5 groups at CAP=1
+            p = str(d / f"g{i}.wav")
+            write_wav(p, synth_lecture(rng, 15.0))
+            paths.append(p)
+        stats = label_files(
+            params, cfg, tok, paths, str(tmp_path / "out"),
+            LabelConfig(wire_mode="resident", vad_mode="spectral-device",
+                        batch_size=2, max_decode_tokens=16),
+            log_every=0,
+        )
+        assert stats["files"] == 5 and stats["groups"] == 5
+    finally:
+        LR.CAP_SEGS, LR.L_STREAM, LR.L_BUF = old

@@ -79,7 +79,7 @@ GRID = [
     # (variant, beams, quant, batches)
     ("greedy_bf16", 0, 0, [16, 32]),
     ("greedy_int8", 0, 8, [16, 32]),
-    ("greedy_fp8", 0, "fp8", [32]),
+    ("greedy_fp8", 0, "fp8", [16, 32]),
     ("greedy_int4", 0, 4, [16, 32, 48]),
     ("beam5_int8", 5, 8, [8, 16]),  # the shipping label_large_v2 config
     ("beam5_int4", 5, 4, [8, 16]),
