@@ -23,6 +23,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -95,6 +96,46 @@ def bench_label(jax, jnp):
     ]
     dt = _median_time(label_chunks, params, pool[0], prefix, arg_pool=pool)
     return batch * 30.0 / dt
+
+
+def bench_label_driver(jax, jnp):
+    """The SHIPPING `cli label` path (pooled device-resident scheduler) on
+    a synthetic VAD-gated lecture corpus — wire, VAD, scheduling and CSV
+    writes included (PERF.md round 4 'driver vs synthetic loop')."""
+    import shutil
+
+    from taiwan_whisper_tpu.audio.io import write_wav
+    from taiwan_whisper_tpu.models.config import DtypePolicy, get_config
+    from taiwan_whisper_tpu.models.params import init_params
+    from taiwan_whisper_tpu.pipeline.label import LabelConfig, label_files
+    from taiwan_whisper_tpu.text.tokenizer import MULTILINGUAL, WhisperTokenizer
+    from tools.profile_label_driver import synth_lecture
+
+    config = get_config("base")
+    params = init_params(config, seed=0)
+    tok = WhisperTokenizer(MULTILINGUAL)
+    root = "/tmp/bench_label_driver"
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root)
+    rng = np.random.RandomState(7)
+    pool = [synth_lecture(rng, 120.0) for _ in range(4)]
+    quarter = min(len(p) for p in pool) // 4
+    paths = []
+    for i in range(40):
+        parts = [pool[rng.randint(4)][q * quarter:(q + 1) * quarter]
+                 for q in range(4)]
+        p = os.path.join(root, f"lec{i:02d}.wav")
+        write_wav(p, np.concatenate(parts))
+        paths.append(p)
+    cfg = LabelConfig(batch_size=96, quantize_kv=8, max_decode_tokens=192,
+                      vad_mode="spectral")
+    # warmup pass compiles the decode/VAD programs (paid once per process)
+    label_files(params, config, tok, paths[:4],
+                os.path.join(root, "warm"), cfg, log_every=0)
+    t0 = time.perf_counter()
+    stats = label_files(params, config, tok, paths,
+                        os.path.join(root, "out"), cfg, log_every=0)
+    return stats["audio_seconds"] / (time.perf_counter() - t0)
 
 
 def bench_train(jax, jnp):
@@ -200,6 +241,21 @@ def main() -> None:
 
     label = bench_label(jax, jnp)
     extra = []
+    try:
+        import sys as _sys
+
+        _sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        driver = bench_label_driver(jax, jnp)
+        extra.append({
+            "metric": "label_driver_audio_s_per_s_per_chip",
+            "value": round(driver, 1),
+            "unit": "audio_seconds_per_second_per_chip",
+            # the PRODUCT path (cli label) vs the reference's ~120/GPU
+            "vs_baseline": round(driver / 120.0, 3),
+        })
+    except Exception as e:
+        extra.append({"metric": "label_driver_audio_s_per_s_per_chip",
+                      "error": repr(e)})
     try:
         train = bench_train(jax, jnp)
         extra.append({

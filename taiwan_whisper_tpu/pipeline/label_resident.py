@@ -224,7 +224,9 @@ def label_files_resident(
     group_pending_chunks: Dict[int, int] = {}  # refcount for freeing
     zeros_buf = None  # lazy [L_BUF] device zeros for the last-pair call
 
-    upload_pool = ThreadPoolExecutor(max_workers=1)
+    # two workers = two concurrent wire streams: the tunnel's aggregate
+    # bandwidth measured ~2x with two parallel device_puts (PERF.md r4)
+    upload_pool = ThreadPoolExecutor(max_workers=2)
     upload_futs: deque = deque()  # (group_no, future)
 
     task_q: deque = deque()  # _ResidentTask in stream order
@@ -276,16 +278,30 @@ def label_files_resident(
     # ---- VAD + region -> tasks ------------------------------------------
     vad_enabled = cfg.vad_regions and cfg.vad_mode != "off"
 
+    # VAD score results are pulled device->host on a side thread so the
+    # main loop never blocks on a result transfer that is queued behind
+    # group uploads on the tunnel (measured 12 s of the 28.6 s wall)
+    pull_pool = ThreadPoolExecutor(max_workers=1)
+    score_futs: deque = deque()  # (group, future of [CAP,3,nb] numpy)
+
     def pump_uploads():
-        """Receive the next uploaded group; score it and deliver tasks.
-        May recurse into drain/run_batch via deliver_scores."""
+        """Receive the next uploaded group; dispatch its VAD scoring with
+        an async result pull."""
         tg, fut = upload_futs.popleft()
         tw = time.perf_counter()
         dev_groups[tg] = fut.result()
         stats["upload_wait_s"] += time.perf_counter() - tw
         if vad_enabled:
+            res = vad_group(dev_groups[tg])  # async dispatch
+            score_futs.append((tg, pull_pool.submit(np.asarray, res)))
+
+    def pump_scores(force=False):
+        """Deliver completed VAD scores (main thread — deliver_scores may
+        recurse into drain/run_batch)."""
+        while score_futs and (force or score_futs[0][1].done()):
+            tg, fut = score_futs.popleft()
             tv = time.perf_counter()
-            scores = np.asarray(vad_group(dev_groups[tg]))  # [CAP,3,nb]
+            scores = fut.result()
             stats["vad_s"] += time.perf_counter() - tv
             deliver_scores(tg, scores)
 
@@ -372,10 +388,18 @@ def label_files_resident(
         for j, t in enumerate(batch):
             starts[j] = t.start - g * L_STREAM
             valid[j] = t.valid
-        td = time.perf_counter()
+        # ASYNC dispatch: batch N+1 launches before batch N's results are
+        # pulled, hiding result-transfer/host-scatter under device compute
         res = decode_from_bufs(params, buf_a, buf_b,
                                jnp.asarray(starts), jnp.asarray(valid),
                                prefix)
+        decode_inflight.append((batch, res))
+        while len(decode_inflight) > 1:
+            scatter_oldest()
+
+    def scatter_oldest():
+        batch, res = decode_inflight.popleft()
+        td = time.perf_counter()
         tokens = np.asarray(res.tokens)
         lengths = np.asarray(res.lengths)
         stats["decode_s"] += time.perf_counter() - td
@@ -416,6 +440,8 @@ def label_files_resident(
                     and g < min_active - 1):
                 dev_groups.pop(g, None)
 
+    decode_inflight: deque = deque()  # (batch, unforced DecodeResult)
+
     draining = [False]  # reentrancy guard: ensure_group -> deliver_scores
     # -> file_regions_to_tasks -> drain can recurse into a running drain
 
@@ -440,6 +466,9 @@ def label_files_resident(
                        <= min(limit, sealed)):
                     batch.append(task_q.popleft())
                 run_batch(batch)
+            if force:
+                while decode_inflight:
+                    scatter_oldest()
         finally:
             draining[0] = False
 
@@ -514,10 +543,12 @@ def label_files_resident(
             # score any groups already sealed + uploaded
             while upload_futs and upload_futs[0][1].done():
                 pump_uploads()
+            pump_scores()
             drain()
         seal_group()
         while upload_futs:
             pump_uploads()
+        pump_scores(force=True)
         drain(force=True)
 
     assert not files, f"unfinished files: {sorted(files)}"
