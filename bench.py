@@ -121,7 +121,8 @@ def bench_label_driver(jax, jnp):
     pool = [synth_lecture(rng, 120.0) for _ in range(4)]
     quarter = min(len(p) for p in pool) // 4
     paths = []
-    for i in range(40):
+    for i in range(96):  # ~3.2 h of audio: enough batches to amortize
+        # the pipeline spin-up (40 files measured ~3x below steady state)
         parts = [pool[rng.randint(4)][q * quarter:(q + 1) * quarter]
                  for q in range(4)]
         p = os.path.join(root, f"lec{i:02d}.wav")
