@@ -69,6 +69,7 @@ def cmd_label(args):
             quantize_kv=args.quantize_kv,
             num_beams=args.num_beams,
             pooled=not args.no_pooled,
+            wire_mode=args.wire_mode,
             max_decode_tokens=args.max_decode_tokens,
             num_draft_tokens=args.num_draft_tokens,
         ),
@@ -378,6 +379,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no_pooled", action="store_true",
                    help="disable the pooled cross-file chunk scheduler "
                         "(debug/A-B only; pooled is the fast path)")
+    p.add_argument("--wire_mode", default="auto",
+                   choices=["auto", "resident", "chunks"],
+                   help="pooled transport: resident (one int16 upload per "
+                        "file, VAD + chunk gathers on device — the fast "
+                        "path), chunks (staged batches), auto")
     p.add_argument("--max_decode_tokens", type=int, default=None,
                    help="cap sampled tokens per 30 s chunk (None = model "
                         "max 448)")
