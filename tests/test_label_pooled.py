@@ -221,10 +221,12 @@ def test_validation_manifest_live_cer(tmp_path, corpus, model):
     assert "en_wer" in v and "zh_cer" in v
 
 
-def test_pooled_batched_device_vad(tmp_path, model):
+@pytest.mark.parametrize("wire_mode", ["resident", "chunks"])
+def test_pooled_batched_device_vad(tmp_path, model, wire_mode):
     """vad_mode=spectral-device routes VAD through the batched device
-    scorer inside the pooled driver; CSVs must match the per-file path run
-    with the same scorer."""
+    scorer inside BOTH pooled transports (resident streaming and staged
+    chunk batches); CSVs must match the per-file path run with the same
+    scorer."""
     import sys
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
     from profile_label_driver import synth_lecture
@@ -242,7 +244,8 @@ def test_pooled_batched_device_vad(tmp_path, model):
     base = dict(vad_mode="spectral-device", batch_size=4, max_decode_tokens=16)
     pooled_dir, plain_dir = str(tmp_path / "pooled"), str(tmp_path / "plain")
     sp = label_files(params, cfg, tok, paths, pooled_dir,
-                     LabelConfig(pooled=True, **base), log_every=0)
+                     LabelConfig(pooled=True, wire_mode=wire_mode, **base),
+                     log_every=0)
     label_files(params, cfg, tok, paths, plain_dir,
                 LabelConfig(pooled=False, **base), log_every=0)
     assert sp["files"] == 3 and sp["chunks"] > 0
