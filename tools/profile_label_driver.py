@@ -121,6 +121,9 @@ def main():
     preset = sys.argv[1] if len(sys.argv) > 1 else "base"
     n_files = int(sys.argv[2]) if len(sys.argv) > 2 else 160
     file_secs = float(sys.argv[3]) if len(sys.argv) > 3 else 120.0
+    global BATCH
+    if len(sys.argv) > 4 and sys.argv[4].isdigit():
+        BATCH = int(sys.argv[4])  # large-v2 knee is 16 (PERF.md grid)
     with_per_file = "--per-file" in sys.argv  # pathologically slow: the old
     # driver re-traces chunked_decode per VAD region (measured 1.5 audio-s/s
     # on a 12-file corpus); off by default
@@ -157,8 +160,9 @@ def main():
     print(f"  synthetic loop: {synth_rate:.1f} audio-s/s")
 
     results = {"synthetic_loop": synth_rate}
-    variants = [("resident_driver", True, "resident"),
-                ("staged_driver", True, "chunks")]
+    variants = [("resident_driver", True, "resident")]
+    if "--resident-only" not in sys.argv:
+        variants.append(("staged_driver", True, "chunks"))
     if with_per_file:
         variants.append(("per_file_driver", False, "chunks"))
     for name, pooled, wire_mode in variants:
