@@ -95,6 +95,34 @@ class _ResidentTask:
     stride_left: float
     stride_right: float
     window_duration: float
+    # packed windows: [(dst_start_s, dst_end_s, region_abs_start_s)] —
+    # piecewise map from packed-window time back to the file timeline
+    pieces: Optional[list] = None
+
+
+def map_packed_segments(segments, pieces):
+    """Map segments decoded in packed-window time back to file time.
+
+    Each piece is (dst_start_s, dst_end_s, src_abs_start_s). A segment is
+    attributed to the piece containing its START (segments starting in a
+    separator/pad snap to the next piece); start and end shift by that
+    piece's offset, the end clamped into the piece (plus separator slack).
+    """
+    out = []
+    for s in segments:
+        piece = None
+        for p in pieces:
+            if s.start < p[1]:
+                piece = p
+                break
+        if piece is None or s.end <= piece[0]:
+            continue  # entirely in trailing pad
+        d0, d1, src = piece
+        delta = src - d0
+        s.start = max(s.start, d0) + delta
+        s.end = min(max(s.end, s.start - delta), d1 + 0.5) + delta
+        out.append(s)
+    return out
 
 
 @dataclasses.dataclass
@@ -107,6 +135,8 @@ class _FileState:
     seg_scores: list  # [3, nb] arrays, one per segment, in order
     segments: list = dataclasses.field(default_factory=list)
     remaining: int = -1  # chunks not yet decoded (-1: regions not known yet)
+    audio_i16: Optional[np.ndarray] = None  # retained until tasks built
+    # (needed by region packing, which re-assembles short regions)
 
     def touched_groups(self, l_stream: int):
         if self.n_seg == 0:
@@ -327,6 +357,52 @@ def label_files_resident(
             vad_waiting.remove(fs)
             file_regions_to_tasks(fs)
 
+    # ---- region packing (opt-in): short regions share decode windows ----
+    windows_per_seg = max(SEG // chunk_len, 1)
+    packed_buffer: List = []  # (file_idx, window int16[chunk_len], valid,
+    # pieces) awaiting a full segment's worth of windows
+    sep_len = int(cfg.pack_separator_s * SAMPLE_RATE)
+
+    def flush_packed(force=False):
+        """Write accumulated packed windows into the stream as one
+        segment-aligned pseudo-file (alignment keeps file VAD bookkeeping
+        intact) and enqueue their decode tasks."""
+        while packed_buffer and (
+            len(packed_buffer) >= windows_per_seg or force
+        ):
+            batch_w = packed_buffer[:windows_per_seg]
+            del packed_buffer[:windows_per_seg]
+            seg_arr = np.zeros(windows_per_seg * chunk_len, np.int16)
+            for i, (_, win, _, _) in enumerate(batch_w):
+                seg_arr[i * chunk_len: (i + 1) * chunk_len] = win
+            # pad the pseudo-file to whole segments (zero windows get no
+            # tasks and are never decoded)
+            pad = (-len(seg_arr)) % SEG
+            if pad:
+                seg_arr = np.concatenate(
+                    [seg_arr, np.zeros(pad, np.int16)])
+            base = stream_write(seg_arr)
+            tasks = []
+            for i, (fidx, _, valid, pieces) in enumerate(batch_w):
+                abs_start = base + i * chunk_len
+                tasks.append(_ResidentTask(
+                    file_idx=fidx,
+                    group=abs_start // L_STREAM,
+                    start=abs_start,
+                    valid=valid,
+                    region_start=0.0,
+                    offset=0.0,
+                    stride_left=0.0,
+                    stride_right=0.0,
+                    window_duration=valid / SAMPLE_RATE,
+                    pieces=pieces,
+                ))
+            for t in tasks:
+                group_pending_chunks[t.group] = (
+                    group_pending_chunks.get(t.group, 0) + 1)
+            task_q.extend(tasks)
+            stats["chunks"] += len(tasks)
+
     def file_regions_to_tasks(fs: _FileState, regions=None):
         total_s = fs.n_samples / SAMPLE_RATE
         if regions is None:
@@ -334,10 +410,23 @@ def label_files_resident(
             audio_dummy = np.empty(fs.n_samples, np.float32)  # length only
             regions = spectral_speech_regions(audio_dummy, scores=sc)
         tasks = []
+        pack_bins: List[list] = []
+        cur_bin: list = []
+        cur_len = 0
         for a, b in regions:
             span_start = int(a * SAMPLE_RATE)
             span_len = int(b * SAMPLE_RATE) - span_start
             if span_len <= 0:
+                continue
+            if (cfg.pack_regions and span_len < chunk_len
+                    and fs.audio_i16 is not None):
+                add = span_len + (sep_len if cur_bin else 0)
+                if cur_bin and cur_len + add > chunk_len:
+                    pack_bins.append(cur_bin)
+                    cur_bin, cur_len = [], 0
+                    add = span_len
+                cur_bin.append((a, span_start, span_len))
+                cur_len += add
                 continue
             for start, off_s, sl, sr, valid in chunk_spans(
                 span_len, chunk_len, stride_len, stride_len
@@ -355,8 +444,22 @@ def label_files_resident(
                     window_duration=min(chunk_s,
                                         span_len / SAMPLE_RATE - off_s),
                 ))
-        fs.remaining = len(tasks)
-        if not tasks:
+        if cur_bin:
+            pack_bins.append(cur_bin)
+        for bin_ in pack_bins:  # assemble packed windows (host copy)
+            win = np.zeros(chunk_len, np.int16)
+            pieces = []
+            pos = 0
+            for (a, ss, sl) in bin_:
+                win[pos: pos + sl] = fs.audio_i16[ss: ss + sl]
+                pieces.append((pos / SAMPLE_RATE, (pos + sl) / SAMPLE_RATE,
+                               a))
+                pos += sl + sep_len
+            valid = min(pos - sep_len, chunk_len)
+            packed_buffer.append((fs.idx, win, valid, pieces))
+        fs.audio_i16 = None
+        fs.remaining = len(tasks) + len(pack_bins)
+        if fs.remaining == 0:
             finish_file(fs)
             return
         for t in tasks:  # group refcount: keeps buffers resident until
@@ -364,6 +467,7 @@ def label_files_resident(
                 group_pending_chunks.get(t.group, 0) + 1)
         task_q.extend(tasks)
         stats["chunks"] += len(tasks)
+        flush_packed()
         drain()
 
     # ---- decode ----------------------------------------------------------
@@ -412,16 +516,19 @@ def label_files_resident(
             segs, _, _ = _tokens_to_segments(
                 sampled, special, t.offset, t.window_duration
             )
-            lo = t.offset + t.stride_left
-            hi = t.offset + chunk_s - t.stride_right
             fs = files[t.file_idx]
-            for s in segs:
-                if (s.start >= lo or t.stride_left == 0.0) and (
-                    s.start < hi or t.stride_right == 0.0
-                ):
-                    s.start += t.region_start
-                    s.end += t.region_start
-                    fs.segments.append(s)
+            if t.pieces is not None:  # packed window: piecewise re-map
+                fs.segments.extend(map_packed_segments(segs, t.pieces))
+            else:
+                lo = t.offset + t.stride_left
+                hi = t.offset + chunk_s - t.stride_right
+                for s in segs:
+                    if (s.start >= lo or t.stride_left == 0.0) and (
+                        s.start < hi or t.stride_right == 0.0
+                    ):
+                        s.start += t.region_start
+                        s.end += t.region_start
+                        fs.segments.append(s)
             fs.remaining -= 1
             group_pending_chunks[t.group] -= 1
             if fs.remaining == 0:
@@ -530,6 +637,7 @@ def label_files_resident(
             fs = _FileState(
                 idx=idx, out_csv=out_csv, n_samples=len(payload),
                 stream_base=0, n_seg=n_seg, seg_scores=[None] * n_seg,
+                audio_i16=payload if cfg.pack_regions else None,
             )
             fs.stream_base = stream_write(padded)
             files[idx] = fs
@@ -545,10 +653,17 @@ def label_files_resident(
                 pump_uploads()
             pump_scores()
             drain()
-        seal_group()
-        while upload_futs:
-            pump_uploads()
-        pump_scores(force=True)
+        # fixpoint: sealing the tail group delivers the last files' scores,
+        # whose regions may append packed windows, whose flush writes new
+        # stream data that needs sealing again
+        while True:
+            seal_group()
+            while upload_futs:
+                pump_uploads()
+            pump_scores(force=True)
+            if not packed_buffer:
+                break
+            flush_packed(force=True)
         drain(force=True)
 
     assert not files, f"unfinished files: {sorted(files)}"

@@ -181,3 +181,76 @@ def test_resident_many_groups_freeing(tmp_path, model):
         assert stats["files"] == 5 and stats["groups"] == 5
     finally:
         LR.CAP_SEGS, LR.L_STREAM, LR.L_BUF = old
+
+
+# ---------------------------------------------------------------------------
+# Region packing (opt-in): short regions share decode windows
+# ---------------------------------------------------------------------------
+
+def test_map_packed_segments_math():
+    from taiwan_whisper_tpu.decode.longform import TranscriptSegment
+    from taiwan_whisper_tpu.pipeline.label_resident import map_packed_segments
+
+    # two pieces: [0, 5) <- region at 10 s; [5.2, 9.2) <- region at 40 s
+    pieces = [(0.0, 5.0, 10.0), (5.2, 9.2, 40.0)]
+    segs = [
+        TranscriptSegment(0.5, 2.0, [1]),    # piece 0 -> 10.5..12.0
+        TranscriptSegment(4.0, 5.1, [2]),    # piece 0, end clamped ~15.5
+        TranscriptSegment(5.1, 6.0, [3]),    # starts in separator -> snaps
+        TranscriptSegment(6.0, 8.0, [4]),    # piece 1 -> 40.8..42.8
+        TranscriptSegment(9.5, 10.0, [5]),   # trailing pad -> dropped
+    ]
+    out = map_packed_segments(list(segs), pieces)
+    assert len(out) == 4
+    assert abs(out[0].start - 10.5) < 1e-6 and abs(out[0].end - 12.0) < 1e-6
+    assert abs(out[1].start - 14.0) < 1e-6 and out[1].end <= 15.5 + 1e-6
+    assert abs(out[2].start - 40.0) < 1e-6  # snapped to piece-1 start
+    assert abs(out[3].start - 40.8) < 1e-6 and abs(out[3].end - 42.8) < 1e-6
+
+
+def test_resident_region_packing(tmp_path, model):
+    """pack_regions=True shares decode windows between short VAD regions:
+    fewer device batches, segments still inside their file timelines."""
+    from profile_label_driver import synth_lecture
+
+    # tiny dims but the REAL 30 s context, so ordinary 12-28 s VAD regions
+    # are sub-window and the packer can share windows between them
+    cfg = WhisperConfig(
+        vocab_size=MULTILINGUAL.vocab_size,
+        d_model=64, ffn_dim=128,
+        encoder_layers=1, decoder_layers=1, encoder_attention_heads=4,
+        decoder_attention_heads=4, max_source_positions=1500,
+        max_target_positions=48,
+    )
+    params = init_params(cfg, seed=0)
+    tok = WhisperTokenizer(MULTILINGUAL)
+    d = tmp_path / "c"
+    d.mkdir()
+    rng = np.random.RandomState(31)
+    paths = []
+    for i in range(2):
+        p = str(d / f"p{i}.wav")
+        write_wav(p, synth_lecture(rng, 60.0))
+        paths.append(p)
+    base = dict(vad_mode="spectral-device", batch_size=4,
+                max_decode_tokens=16, wire_mode="resident")
+    packed_dir, plain_dir = str(tmp_path / "packed"), str(tmp_path / "plain")
+    sp = label_files(params, cfg, tok, paths, packed_dir,
+                     LabelConfig(pack_regions=True, **base), log_every=0)
+    su = label_files(params, cfg, tok, paths, plain_dir,
+                     LabelConfig(**base), log_every=0)
+    assert sp["files"] == 2 and su["files"] == 2
+    # packing shares windows: strictly fewer decode slots than unpacked
+    assert 0 < sp["chunks"] < su["chunks"]
+    # outputs are plausible: CSVs exist, segments within file bounds
+    for i in range(2):
+        with open(os.path.join(packed_dir, f"p{i}.csv"),
+                  encoding="utf-8") as f:
+            import csv as _csv
+
+            rows = list(_csv.DictReader(f))
+        assert rows
+        for r in rows:
+            # random-weight timestamps are garbage IN-WINDOW, but packed
+            # mapping must keep them inside the file timeline
+            assert -0.01 <= float(r["start"]) <= 61.0
