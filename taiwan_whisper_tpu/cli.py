@@ -70,6 +70,7 @@ def cmd_label(args):
             num_beams=args.num_beams,
             pooled=not args.no_pooled,
             wire_mode=args.wire_mode,
+            pack_regions=args.pack_regions,
             max_decode_tokens=args.max_decode_tokens,
             num_draft_tokens=args.num_draft_tokens,
         ),
@@ -384,6 +385,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="pooled transport: resident (one int16 upload per "
                         "file, VAD + chunk gathers on device — the fast "
                         "path), chunks (staged batches), auto")
+    p.add_argument("--pack_regions", action="store_true",
+                   help="pack short VAD regions into shared decode windows "
+                        "(resident transport; the reference packs "
+                        "utterances the same way, "
+                        "run_pseudo_labelling.py:644-734)")
     p.add_argument("--max_decode_tokens", type=int, default=None,
                    help="cap sampled tokens per 30 s chunk (None = model "
                         "max 448)")

@@ -13,9 +13,13 @@ Rows are independent, so the grid tiles the flattened row dimension; the
 feature dimension d rides the lanes (must be a multiple of 128 — true for
 all Whisper sizes: 384/512/768/1024/1280).
 
-Replaces the reference's flax LayerNorm (layers.py:759-816) on the TPU hot
-path; numerics match models/whisper.py::_layer_norm to bf16 resolution
-(tests/test_ln_kernel.py).
+Status: a parity-tested CANDIDATE kernel, not wired into the model —
+profiling at large-v2 encoder shapes (PERF.md round 4, tools/profile_ln.py)
+measured it neutral standalone (3.13 vs 3.15 ms) and a net LOSS in situ
+(the kernel boundary blocks XLA's surrounding fusions), so the encoder
+keeps XLA LN. It covers the same role as the reference's flax LayerNorm
+(layers.py:759-816); numerics match models/whisper.py::_layer_norm to bf16
+resolution (tests/test_ln_kernel.py).
 """
 
 from __future__ import annotations

@@ -159,11 +159,12 @@ def _file_to_tasks(
 ) -> List[_ChunkTask]:
     """Host-side prep of one file: VAD regions -> strided chunks.
 
-    Chunk offsets are shifted to the file's absolute timeline here, so the
-    consumer's segment arithmetic is identical to chunked_decode's
-    core-region merge (decode/longform.py) with no post-shift.
-    ``regions`` injects precomputed VAD regions (the pooled driver's
-    batched device scorer)."""
+    Chunk offsets stay REGION-relative (``offset`` counts seconds within
+    the region); the consumer applies ``region_start`` as a post-shift when
+    scattering segments back (see _ChunkTask), so the in-window stride
+    arithmetic is identical to chunked_decode's core-region merge
+    (decode/longform.py). ``regions`` injects precomputed VAD regions (the
+    pooled driver's batched device scorer)."""
     from ..audio.mel import SAMPLE_RATE
 
     if regions is None:
@@ -304,6 +305,7 @@ def _label_files_pooled(
         stats["decode_s"] += time.perf_counter() - td
         stats["batches"] += 1
         stats["pad_slots"] += bs - len(batch)
+        ts = time.perf_counter()
         for j, t in enumerate(batch):
             sampled = tokens[j][
                 len(sot_seq): len(sot_seq) + int(lengths[j])
@@ -324,6 +326,7 @@ def _label_files_pooled(
             st["remaining"] -= 1
             if st["remaining"] == 0 and st["produced"]:
                 finish_file(t.file_idx)
+        stats["scatter_s"] += time.perf_counter() - ts
 
     def drain(force=False):
         while len(buffer) >= bs or (force and buffer):
@@ -403,7 +406,8 @@ def _label_files_pooled(
     # bounded look-ahead: io_threads workers prep files while the device
     # decodes; completed files enter the queue in submission order so CSVs
     # appear deterministically
-    with ThreadPoolExecutor(max_workers=max(cfg.io_threads, 1)) as pool:
+    with ThreadPoolExecutor(max_workers=max(cfg.io_threads, 1)) as pool, \
+            stage_pool:
         inflight = []
         it = iter(todo)
 

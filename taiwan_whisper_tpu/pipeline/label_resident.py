@@ -200,8 +200,17 @@ def label_files_resident(
 
     @jax.jit
     def decode_from_bufs(params, buf_a, buf_b, starts, valid, prefix):
-        # virtual stream: group g then group g+1 (drop g's VAD overlap tail)
-        virt = jnp.concatenate([buf_a[:L_STREAM], buf_b])
+        # virtual stream: group g then group g+1 (drop g's VAD overlap tail),
+        # padded so every admissible row start has a full chunk_len window:
+        # a rider task near the end of group g+1 (start+valid bounded by
+        # (g+2)*L_STREAM but valid < chunk_len-_WIN) would otherwise push
+        # dynamic_slice past the buffer and get its start CLAMPED — silently
+        # shifting the gathered window up to ~30 s earlier (wrong audio
+        # surviving the valid-mask).
+        virt = jnp.concatenate([
+            buf_a[:L_STREAM], buf_b,
+            jnp.zeros(max(chunk_len - _WIN, 0), jnp.int16),
+        ])
         # contiguous per-row extraction MUST be dynamic_slice, not take:
         # a [bs, chunk_len] index-matrix gather measured 16x slower on chip
         rows = jax.vmap(
@@ -614,57 +623,67 @@ def label_files_resident(
                 inflight.append(
                     (out_csv, pool.submit(load_one, (idx, path))))
 
-        top_up()
-        while inflight:
-            out_csv, fut = inflight.popleft()
-            tl = time.perf_counter()
-            idx, payload, secs, err = fut.result()
-            stats["load_wait_s"] += time.perf_counter() - tl
+        try:
             top_up()
-            if payload is None:
-                print(f"[label] failed to read {audio_paths[idx]}: {err}")
-                stats["failed"] += 1
-                continue
-            stats["audio_seconds"] += secs
-            if payload is False:  # energy-gated silent file
-                fs = _FileState(idx, out_csv, 0, 0, 0, [])
+            while inflight:
+                out_csv, fut = inflight.popleft()
+                tl = time.perf_counter()
+                idx, payload, secs, err = fut.result()
+                stats["load_wait_s"] += time.perf_counter() - tl
+                top_up()
+                if payload is None:
+                    print(f"[label] failed to read {audio_paths[idx]}: "
+                          f"{err}")
+                    stats["failed"] += 1
+                    continue
+                stats["audio_seconds"] += secs
+                if payload is False:  # energy-gated silent file
+                    fs = _FileState(idx, out_csv, 0, 0, 0, [])
+                    files[idx] = fs
+                    finish_file(fs)
+                    continue
+                n_seg = max(-(-len(payload) // SEG), 1)
+                padded = np.zeros(n_seg * SEG, np.int16)
+                padded[: len(payload)] = payload
+                fs = _FileState(
+                    idx=idx, out_csv=out_csv, n_samples=len(payload),
+                    stream_base=0, n_seg=n_seg, seg_scores=[None] * n_seg,
+                    audio_i16=payload if cfg.pack_regions else None,
+                )
+                fs.stream_base = stream_write(padded)
                 files[idx] = fs
-                finish_file(fs)
-                continue
-            n_seg = max(-(-len(payload) // SEG), 1)
-            padded = np.zeros(n_seg * SEG, np.int16)
-            padded[: len(payload)] = payload
-            fs = _FileState(
-                idx=idx, out_csv=out_csv, n_samples=len(payload),
-                stream_base=0, n_seg=n_seg, seg_scores=[None] * n_seg,
-                audio_i16=payload if cfg.pack_regions else None,
-            )
-            fs.stream_base = stream_write(padded)
-            files[idx] = fs
-            for g in fs.touched_groups(L_STREAM):
-                group_open_files[g] = group_open_files.get(g, 0) + 1
-            if vad_enabled:
-                vad_waiting.append(fs)
-            else:
-                file_regions_to_tasks(
-                    fs, regions=[(0.0, fs.n_samples / SAMPLE_RATE)])
-            # score any groups already sealed + uploaded
-            while upload_futs and upload_futs[0][1].done():
-                pump_uploads()
-            pump_scores()
-            drain()
-        # fixpoint: sealing the tail group delivers the last files' scores,
-        # whose regions may append packed windows, whose flush writes new
-        # stream data that needs sealing again
-        while True:
-            seal_group()
-            while upload_futs:
-                pump_uploads()
-            pump_scores(force=True)
-            if not packed_buffer:
-                break
-            flush_packed(force=True)
-        drain(force=True)
+                for g in fs.touched_groups(L_STREAM):
+                    group_open_files[g] = group_open_files.get(g, 0) + 1
+                if vad_enabled:
+                    vad_waiting.append(fs)
+                else:
+                    file_regions_to_tasks(
+                        fs, regions=[(0.0, fs.n_samples / SAMPLE_RATE)])
+                # score any groups already sealed + uploaded
+                while upload_futs and upload_futs[0][1].done():
+                    pump_uploads()
+                pump_scores()
+                drain()
+            # fixpoint: sealing the tail group delivers the last files'
+            # scores, whose regions may append packed windows, whose flush
+            # writes new stream data that needs sealing again. The break
+            # condition must ALSO require group_fill == 0: when the last
+            # flush happens inside pump_scores (a full windows_per_seg set,
+            # leaving packed_buffer empty), the packed pseudo-file sits in
+            # the still-open group — breaking on packed_buffer alone leaves
+            # it unsealed and its tasks undecodable (the round-4 deadlock).
+            while True:
+                seal_group()
+                while upload_futs:
+                    pump_uploads()
+                pump_scores(force=True)
+                flush_packed(force=True)
+                if not packed_buffer and group_fill == 0:
+                    break
+            drain(force=True)
+        finally:
+            upload_pool.shutdown(wait=True)
+            pull_pool.shutdown(wait=True)
 
     assert not files, f"unfinished files: {sorted(files)}"
     assert not vad_waiting

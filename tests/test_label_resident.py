@@ -254,3 +254,77 @@ def test_resident_region_packing(tmp_path, model):
             # random-weight timestamps are garbage IN-WINDOW, but packed
             # mapping must keep them inside the file timeline
             assert -0.01 <= float(r["start"]) <= 61.0
+
+
+def test_resident_group_boundary_rider_window(tmp_path):
+    """Regression (advisor r4, label_resident.py decode_from_bufs): a rider
+    task near the END of group g+1 — admitted by the drain rule because
+    start+valid <= (g+2)*L_STREAM — needs chunk_len samples past its start,
+    which overran the old virtual stream (2*L_STREAM+WIN). dynamic_slice
+    CLAMPS out-of-bounds starts, silently shifting the gathered window up
+    to ~30 s earlier; the valid-mask then kept the wrong (earlier) audio.
+    The virtual stream is now zero-padded to 2*L_STREAM+chunk_len.
+
+    Geometry (CAP_SEGS=1, 30 s context): speech at [113,130] s makes the
+    batch leader in group 0; speech at [223,237] s makes a rider in group 1
+    whose window [223,253] s overruns the old 240.025 s stream. CSV output
+    must equal the per-file reference path."""
+    from profile_label_driver import synth_lecture
+    from taiwan_whisper_tpu.pipeline import label_resident as LR
+
+    cfg = WhisperConfig(
+        vocab_size=MULTILINGUAL.vocab_size,
+        d_model=64, ffn_dim=128,
+        encoder_layers=1, decoder_layers=1, encoder_attention_heads=4,
+        decoder_attention_heads=4, max_source_positions=1500,
+        max_target_positions=48,
+    )
+    params = init_params(cfg, seed=0)
+    tok = WhisperTokenizer(MULTILINGUAL)
+    rng = np.random.RandomState(7)
+    audio = np.zeros(240 * SR, np.float32)
+    for lo, hi in ((113, 130), (223, 237)):
+        sp = synth_lecture(rng, float(hi - lo) + 1.0)[: (hi - lo) * SR]
+        audio[lo * SR: hi * SR] = sp
+    p = str(tmp_path / "boundary.wav")
+    write_wav(p, audio)
+    old = (LR.CAP_SEGS, LR.L_STREAM, LR.L_BUF)
+    LR.CAP_SEGS = 1  # 120 s groups: the file spans groups 0 and 1
+    LR.L_STREAM = LR.CAP_SEGS * LR.SEG
+    LR.L_BUF = LR.L_STREAM + LR._WIN
+    # spy on the audio rows reaching the mel front-end: tiny random
+    # models can emit identical tokens for speech and silence, so CSV
+    # equality alone cannot detect a silently shifted gather window
+    import jax as _jax
+
+    import taiwan_whisper_tpu.audio.mel as mel_mod
+
+    captured = []
+    orig_log_mel = mel_mod.log_mel
+
+    def spy(a, n_mels):
+        _jax.debug.callback(lambda x: captured.append(np.asarray(x)), a)
+        return orig_log_mel(a, n_mels)
+
+    mel_mod.log_mel = spy
+    try:
+        base = dict(vad_mode="spectral-device", batch_size=4,
+                    max_decode_tokens=16)
+        res_dir, plain_dir = str(tmp_path / "res"), str(tmp_path / "plain")
+        stats = label_files(params, cfg, tok, [p], res_dir,
+                            LabelConfig(wire_mode="resident", **base),
+                            log_every=0)
+        mel_mod.log_mel = orig_log_mel
+        label_files(params, cfg, tok, [p], plain_dir,
+                    LabelConfig(pooled=False, **base), log_every=0)
+        assert stats["files"] == 1 and stats["groups"] == 2
+        assert stats["chunks"] == 2 and stats["batches"] == 1
+        assert _read_csvs(res_dir) == _read_csvs(plain_dir)
+        # every decoded row is a VAD speech region: a clamped gather
+        # would have fed the rider row silence from ~30 s earlier
+        rows = np.concatenate(captured, axis=0)[: stats["chunks"]]
+        for j, row in enumerate(rows):
+            assert float(np.abs(row).max()) > 0.01, f"row {j} is silence"
+    finally:
+        mel_mod.log_mel = orig_log_mel
+        LR.CAP_SEGS, LR.L_STREAM, LR.L_BUF = old
