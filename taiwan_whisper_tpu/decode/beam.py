@@ -17,10 +17,14 @@ against the reference's eval path:
 * at finalisation, batches that never became done also enter their alive
   beams as hypotheses.
 
-Beam state lives in [B, K] arrays; the KV cache is flat [L, B*K, H, Dh, S]
-and reordered with one gather per step. On a (data, model) mesh the gather is
-batch-local, so a tensor-sharded teacher (BASELINE.json config 4) keeps beam
-bookkeeping replicated while logits stay model-sharded.
+Beam state lives in [B, K] arrays; the SELF-attention cache is flat
+[L, B*K, H, Dh, S] and reordered with one gather per step, while the
+beam-invariant CROSS K/V is stored once per batch item [L, B, H, Dh, T] and
+shared by folding the K beams into the cross-attention query axis
+(models/whisper.py::_cross_attention beams=k) — every beam reads the same
+dominant HBM stream instead of K copies. On a (data, model) mesh the gather
+is batch-local, so a tensor-sharded teacher (BASELINE.json config 4) keeps
+beam bookkeeping replicated while logits stay model-sharded.
 """
 
 from __future__ import annotations
@@ -106,12 +110,16 @@ def beam_decode(
     suppress = jnp.asarray(rules.suppress_mask())
     begin_suppress = jnp.asarray(rules.begin_suppress_mask())
 
-    # replicate encoder state over beams once
-    enc_rep = jnp.repeat(enc_out, k, axis=0)  # [B*K, T, d]
+    # cross K/V is beam-invariant: store it ONCE per batch item [L,B,...]
+    # and fold the K beams into the cross-attention query axis (decode_step
+    # beams=k). Replicating it [L,B*K,...] multiplied the decode loop's
+    # dominant HBM stream by K — measured 14x greedy:beam-5 at whisper-base
+    # and a 5x-larger program that crashed the TPU compiler at large-v2
+    # unroll-4 (PERF.md round 4).
     # quantization fused into the per-layer precompute scan (PERF.md r3:
     # whole-tensor quantization OOMs v5e at large-v2 beam-5 shapes)
     cross_kv = M.precompute_cross_kv(
-        params, enc_rep, config, policy,
+        params, enc_out, config, policy,
         quantize=(quantize_cross_kv
                   if quantize_cross_kv in (4, "fp8") else 8)
         if quantize_cross_kv else 0,
@@ -119,7 +127,8 @@ def beam_decode(
     cache = M.init_cache(config, b * k, max_len, dtype=policy.compute_dtype)
     prefix_rep = jnp.repeat(prefix, k, axis=0)
     logits0, cache, sot_logits = M.prefill(
-        params, cross_kv, cache, prefix_rep, config, policy, aux_index=sot_index
+        params, cross_kv, cache, prefix_rep, config, policy,
+        aux_index=sot_index, beams=k,
     )
     # beams are identical at prefill, so the no-speech probe (Whisper paper
     # §4.5: P(<|nospeech|>) at the sot position) reads one row per batch item
@@ -232,7 +241,7 @@ def beam_decode(
         )
         logits, cache = M.decode_step(
             params, cross_kv, cache, _flat(new_tok), i, config, policy,
-            unroll=scan_unroll,
+            unroll=scan_unroll, beams=k,
         )
         return dict(
             cache=cache,

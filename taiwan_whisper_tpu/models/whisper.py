@@ -473,9 +473,20 @@ def _use_pallas_decode(dh: int, opt_in: bool) -> bool:
         return False
 
 
-def _cross_attention(q, cross_slice, dtype, use_pallas: bool = False):
+def _cross_attention(q, cross_slice, dtype, use_pallas: bool = False,
+                     beams: int = 1):
     """q [B, Sq, H, Dh] against one layer's cross K/V [B, H, Dh, T]
-    (time-minor; plain bf16 or quantized QuantCrossKV slices)."""
+    (time-minor; plain bf16 or quantized QuantCrossKV slices).
+
+    ``beams``: q rows arrive beam-flat [B*K, Sq, H, Dh] while the K/V is
+    stored ONCE per batch item [B, H, Dh, T] — cross K/V is beam-invariant,
+    so the K beams fold into the query axis ([B, K*Sq, H, Dh]) and every
+    beam reads the same HBM stream. Replicating KV over beams instead
+    multiplied the decode loop's dominant stream by K (measured 14x
+    greedy:beam-5 at whisper-base; PERF.md round 4)."""
+    if beams > 1:
+        bk, sq, nh, dhq = q.shape
+        q = q.reshape(bk // beams, beams * sq, nh, dhq)
     dh = q.shape[-1]
     scale = dh ** -0.5
     if len(cross_slice) == 4:
@@ -513,6 +524,8 @@ def _cross_attention(q, cross_slice, dtype, use_pallas: bool = False):
         )
     if vs is not None:
         att = att.astype(jnp.float32) * jnp.transpose(vs, (0, 3, 1, 2))
+    if beams > 1:
+        att = att.reshape(bk, sq, nh, dhq)
     return att.astype(dtype)
 
 
@@ -596,6 +609,8 @@ def decode_step(
     unroll: int = 1,  # layer-scan unroll factor (perf knob; see PERF.md)
     use_pallas: bool = False,  # EXPERIMENTAL Pallas decode-attention kernels
     # (measured slower than the XLA path at whisper shapes; see PERF.md)
+    beams: int = 1,  # rows per cross-KV batch item (beam search shares
+    # the beam-invariant cross K/V; see _cross_attention)
 ) -> Tuple[jnp.ndarray, KVCache]:
     """One decoder step. Returns (fp32 logits [B, vocab], updated cache)."""
     p = params["decoder"]
@@ -620,7 +635,8 @@ def decode_step(
         x = x + att
         h = _layer_norm(lp["cross_attn_ln"], x)
         q = _split_heads(_dense(lp["cross_attn"]["q"], h, dtype), n_heads)
-        att = _cross_attention(q, cross_slice, dtype, use_pallas=use_pallas)
+        att = _cross_attention(q, cross_slice, dtype, use_pallas=use_pallas,
+                               beams=beams)
         x = x + _dense(lp["cross_attn"]["out"], _merge_heads(att), dtype)
         h = _layer_norm(lp["final_ln"], x)
         x = x + _mlp_block(lp["fc1"], lp["fc2"], h, dtype)
@@ -646,6 +662,8 @@ def extend(
     offset: jnp.ndarray,  # scalar int32: first position of `tokens`
     config: WhisperConfig,
     policy: DtypePolicy = DtypePolicy(),
+    *,
+    beams: int = 1,  # rows per cross-KV batch item (see _cross_attention)
 ) -> Tuple[jnp.ndarray, KVCache]:
     """Multi-token decode: process P tokens in one pass against an existing
     cache (valid below ``offset``), returning fp32 logits for ALL P positions
@@ -696,7 +714,7 @@ def extend(
         x = x + _dense(lp["self_attn"]["out"], _merge_heads(att), dtype)
         h = _layer_norm(lp["cross_attn_ln"], x)
         q = _split_heads(_dense(lp["cross_attn"]["q"], h, dtype), n_heads)
-        att = _cross_attention(q, cross_slice, dtype)
+        att = _cross_attention(q, cross_slice, dtype, beams=beams)
         x = x + _dense(lp["cross_attn"]["out"], _merge_heads(att), dtype)
         h = _layer_norm(lp["final_ln"], x)
         x = x + _mlp_block(lp["fc1"], lp["fc2"], h, dtype)
@@ -720,6 +738,7 @@ def prefill(
     *,
     valid_from: Optional[jnp.ndarray] = None,  # [B] first non-pad position
     aux_index: int = 0,  # extra position whose logits are also returned
+    beams: int = 1,  # rows per cross-KV batch item (see _cross_attention)
 ) -> Tuple[jnp.ndarray, KVCache, jnp.ndarray]:
     """Run the prompt through the decoder in one pass, filling cache[0:P].
 
@@ -763,7 +782,7 @@ def prefill(
         cv = jax.lax.dynamic_update_slice(cv, v_t.astype(cv.dtype), (0, 0, 0, 0))
         h = _layer_norm(lp["cross_attn_ln"], x)
         q = _split_heads(_dense(lp["cross_attn"]["q"], h, dtype), n_heads)
-        att = _cross_attention(q, cross_slice, dtype)
+        att = _cross_attention(q, cross_slice, dtype, beams=beams)
         x = x + _dense(lp["cross_attn"]["out"], _merge_heads(att), dtype)
         h = _layer_norm(lp["final_ln"], x)
         x = x + _mlp_block(lp["fc1"], lp["fc2"], h, dtype)
