@@ -304,12 +304,21 @@ def cmd_transcribe(args):
 
 
 def cmd_sweep(args):
-    from .pipeline.sweep import run_sweep
+    from .pipeline.sweep import run_sweep, run_sweep_agent
 
-    summary = run_sweep(
-        args.config, args.target, args.output_dir,
-        extra_argv=args.extra, max_runs=args.max_runs, seed=args.seed,
-    )
+    if not args.agent and not args.config:
+        raise SystemExit("sweep: --config is required without --agent")
+    if args.agent:
+        summary = run_sweep_agent(
+            args.config, args.target, args.output_dir,
+            extra_argv=args.extra, sweep_id=args.sweep_id,
+            project=args.project, entity=args.entity, count=args.count,
+        )
+    else:
+        summary = run_sweep(
+            args.config, args.target, args.output_dir,
+            extra_argv=args.extra, max_runs=args.max_runs, seed=args.seed,
+        )
     print(json.dumps(summary))
     return summary
 
@@ -515,8 +524,11 @@ def build_parser() -> argparse.ArgumentParser:
     _add_common(p)
     p.set_defaults(fn=cmd_transcribe)
 
-    p = sub.add_parser("sweep", help="local HP sweep over a wandb-style YAML")
-    p.add_argument("--config", required=True, help="sweep YAML path")
+    p = sub.add_parser("sweep", help="HP sweep over a wandb-style YAML: "
+                                     "local expansion (default) or a "
+                                     "hosted wandb agent (--agent)")
+    p.add_argument("--config", default=None, help="sweep YAML path "
+                   "(required unless --agent with --sweep_id)")
     p.add_argument("--target", required=True,
                    choices=["distill", "finetune", "evaluate"],
                    help="subcommand every run invokes")
@@ -524,6 +536,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max_runs", type=int, default=0,
                    help="cap grid size / number of random samples")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--agent", action="store_true",
+                   help="join/create a HOSTED wandb sweep (the reference's "
+                        "wandb agent mode; needs wandb + network)")
+    p.add_argument("--sweep_id", default=None,
+                   help="existing wandb sweep to join (with --agent)")
+    p.add_argument("--project", default=None)
+    p.add_argument("--entity", default=None)
+    p.add_argument("--count", type=int, default=None,
+                   help="max runs this agent executes")
     p.add_argument("--extra", nargs=argparse.REMAINDER, default=[],
                    help="extra argv appended to every run")
     p.set_defaults(fn=cmd_sweep)

@@ -186,3 +186,76 @@ def run_sweep(
     with open(os.path.join(out_dir, "best.json"), "w") as f:
         json.dump(summary, f, indent=2)
     return summary
+
+
+def run_sweep_agent(
+    yaml_path: Optional[str],
+    target: str,
+    out_dir: str,
+    extra_argv: Sequence[str] = (),
+    *,
+    sweep_id: Optional[str] = None,
+    project: Optional[str] = None,
+    entity: Optional[str] = None,
+    count: Optional[int] = None,
+    runner: Optional[Callable[[List[str]], Any]] = None,
+) -> Dict[str, Any]:
+    """Join (or create) a HOSTED wandb sweep as an agent — the reference's
+    actual HP-search mode (flax/distillation_scripts/run_bs_sweep.yaml is
+    consumed by ``wandb sweep`` + ``wandb agent``). Each agent iteration
+    receives a config from the wandb scheduler, runs it through the CLI,
+    and logs the target metric back, so Bayesian/random scheduling and
+    early termination work exactly as upstream. Requires the ``wandb``
+    package and network access; :func:`run_sweep` is the offline local
+    expansion of the same YAMLs.
+
+    ``sweep_id`` joins an existing sweep; otherwise the YAML is registered
+    as a new sweep first. Returns {sweep_id, runs} (run count this agent
+    completed)."""
+    try:
+        import wandb
+    except ImportError as e:  # pragma: no cover - exercised via stub
+        raise RuntimeError(
+            "sweep --agent requires the wandb package; use the local "
+            "expansion mode (cli sweep without --agent) offline"
+        ) from e
+    if runner is None:
+        from ..cli import main as runner  # type: ignore[assignment]
+
+    metric_name = None
+    if yaml_path:
+        with open(yaml_path) as f:
+            doc = yaml.safe_load(f)
+        metric_name = (doc.get("metric") or {}).get("name")
+        if sweep_id is None:
+            sweep_id = wandb.sweep(doc, project=project, entity=entity)
+    if sweep_id is None:
+        raise ValueError("need --config or --sweep_id")
+    os.makedirs(out_dir, exist_ok=True)
+    done = {"runs": 0}
+
+    def one_run():
+        run = wandb.init()
+        try:
+            cfg = dict(run.config)
+            cfg.setdefault(
+                "output_dir",
+                os.path.join(out_dir, f"run_{run.id}"),
+            )
+            argv = _to_argv(target, cfg, extra_argv)
+            result = runner(argv)
+            metric = _lookup_metric(result, metric_name)
+            payload = result if isinstance(result, dict) else {}
+            if metric is not None and metric_name:
+                payload = dict(payload)
+                payload[metric_name] = metric
+            if payload:
+                run.log({k: v for k, v in payload.items()
+                         if isinstance(v, (int, float))})
+            done["runs"] += 1
+        finally:
+            run.finish()
+
+    wandb.agent(sweep_id, function=one_run, count=count,
+                project=project, entity=entity)
+    return {"sweep_id": sweep_id, "runs": done["runs"]}

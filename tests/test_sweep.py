@@ -97,3 +97,113 @@ def test_run_sweep_picks_best_and_records(tmp_path):
     # per-run output dirs are distinct
     dirs = {l["params"]["output_dir"] for l in lines}
     assert len(dirs) == 4
+
+
+def test_run_sweep_agent_with_stubbed_wandb(tmp_path, monkeypatch):
+    """Hosted-agent mode (reference: wandb sweep + wandb agent over
+    run_bs_sweep.yaml). A stub wandb module verifies: the YAML registers
+    as a sweep, each agent iteration runs the scheduler-served config
+    through the CLI runner, and the target metric is logged back."""
+    import sys
+    import types
+
+    from taiwan_whisper_tpu.pipeline.sweep import run_sweep_agent
+
+    p = tmp_path / "sweep.yaml"
+    p.write_text(GRID_YAML)
+
+    served = [
+        {"learning_rate": 1e-3, "batch_size": 2, "max_steps": 3},
+        {"learning_rate": 1e-4, "batch_size": 4, "max_steps": 3},
+    ]
+    logged, finished, state = [], [], {}
+
+    class _Run:
+        def __init__(self, cfg, rid):
+            self.config = dict(cfg)
+            self.id = rid
+
+        def log(self, d):
+            logged.append(d)
+
+        def finish(self):
+            finished.append(self.id)
+
+    wandb = types.ModuleType("wandb")
+
+    def _sweep(doc, project=None, entity=None):
+        assert doc["method"] == "grid"
+        assert doc["metric"]["name"] == "train/loss"
+        state["project"] = project
+        return "sw-123"
+
+    def _agent(sweep_id, function=None, count=None, project=None,
+               entity=None):
+        assert sweep_id == "sw-123" and count == 2
+        for i in range(count):
+            state["next"] = _Run(served[i], f"r{i}")
+            function()
+
+    wandb.sweep = _sweep
+    wandb.agent = _agent
+    wandb.init = lambda *a, **k: state["next"]
+    monkeypatch.setitem(sys.modules, "wandb", wandb)
+
+    calls = []
+
+    def fake_runner(argv):
+        calls.append(argv)
+        lr = float(argv[argv.index("--learning_rate") + 1])
+        return {"loss": lr * 10}
+
+    out = run_sweep_agent(
+        str(p), "distill", str(tmp_path / "out"),
+        project="k2d", count=2, runner=fake_runner,
+    )
+    assert out == {"sweep_id": "sw-123", "runs": 2}
+    assert state["project"] == "k2d"
+    assert len(calls) == 2 and all(a[0] == "distill" for a in calls)
+    # metric logged under the sweep's metric name for the scheduler
+    assert logged[0]["train/loss"] == 1e-3 * 10
+    assert logged[1]["train/loss"] == 1e-4 * 10
+    assert finished == ["r0", "r1"]
+    # distinct per-run output dirs derived from the wandb run ids
+    dirs = {a[a.index("--output_dir") + 1] for a in calls}
+    assert len(dirs) == 2
+
+
+def test_run_sweep_agent_join_existing(tmp_path, monkeypatch):
+    import sys
+    import types
+
+    from taiwan_whisper_tpu.pipeline.sweep import run_sweep_agent
+
+    wandb = types.ModuleType("wandb")
+    ran = []
+
+    class _Run:
+        config = {"learning_rate": 1e-3}
+        id = "rX"
+
+        def log(self, d):
+            pass
+
+        def finish(self):
+            pass
+
+    def _agent(sweep_id, function=None, count=None, **kw):
+        assert sweep_id == "existing-id"
+        function()
+        ran.append(1)
+
+    wandb.sweep = lambda *a, **k: (_ for _ in ()).throw(
+        AssertionError("must not create a new sweep"))
+    wandb.agent = _agent
+    wandb.init = lambda *a, **k: _Run()
+    monkeypatch.setitem(sys.modules, "wandb", wandb)
+
+    out = run_sweep_agent(
+        None, "distill", str(tmp_path / "out"), sweep_id="existing-id",
+        runner=lambda argv: {"loss": 1.0},
+    )
+    assert ran and out["sweep_id"] == "existing-id"
