@@ -64,7 +64,15 @@ def greedy_decode(
     max_len = max_len or config.max_target_positions
     assert p_len < max_len
     if scan_unroll == 0:
-        scan_unroll = config.decoder_layers if config.decoder_layers <= 8 else 4
+        # FULL unroll removes the stacked-layer dynamic slicing and lets
+        # XLA fuse across layer boundaries. Round-5 grid at large-v2 b16
+        # int8: u1 171 / u4 114 / u8 107 / u16 102 / u32 249 audio-s/s —
+        # full unroll is 2.2x the old auto(4); b32 reaches 288. The only
+        # exception: very large batch x deep decoder programs crash the
+        # TPU remote-compile helper (b48 u32, reproducible), so huge
+        # batches fall back to unroll 1 (measured 2nd-best at b16).
+        scan_unroll = (config.decoder_layers
+                       if config.decoder_layers <= 8 or b <= 32 else 1)
     eot = rules.eot
     ts_begin = rules.timestamp_begin
 

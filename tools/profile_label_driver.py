@@ -160,16 +160,18 @@ def main():
     print(f"  synthetic loop: {synth_rate:.1f} audio-s/s")
 
     results = {"synthetic_loop": synth_rate}
-    variants = [("resident_driver", True, "resident")]
-    if "--resident-only" not in sys.argv:
-        variants.append(("staged_driver", True, "chunks"))
+    variants = [("resident_driver", True, "resident", False)]
+    if "--pack" in sys.argv:  # VAD-region packing A/B (VERDICT r4 #1)
+        variants.append(("resident_packed", True, "resident", True))
+    if "--resident-only" not in sys.argv and "--pack" not in sys.argv:
+        variants.append(("staged_driver", True, "chunks", False))
     if with_per_file:
-        variants.append(("per_file_driver", False, "chunks"))
-    for name, pooled, wire_mode in variants:
+        variants.append(("per_file_driver", False, "chunks", False))
+    for name, pooled, wire_mode, pack in variants:
         cfg = LabelConfig(batch_size=BATCH, quantize_kv=8,
                           max_decode_tokens=BUDGET, pooled=pooled,
                           vad_mode="spectral", io_threads=2,
-                          wire_mode=wire_mode)
+                          wire_mode=wire_mode, pack_regions=pack)
         if pooled:
             # steady-state: one warmup pass over 4 files compiles the decode
             # + VAD programs (a production run pays this once per process)

@@ -62,7 +62,8 @@ def run(batch, beams, quant, iters=3, unroll=0):
                                quantize_cross_kv=quant,
                                scan_unroll=unroll).tokens
         return greedy_decode(params, enc, prefix, config, rules, policy,
-                             max_len=max_len, quantize_cross_kv=quant).tokens
+                             max_len=max_len, quantize_cross_kv=quant,
+                             scan_unroll=unroll).tokens
 
     rng = np.random.RandomState(0)
     audio = jnp.asarray(rng.randn(batch, N_SAMPLES).astype(np.float32) * 0.1)
@@ -81,6 +82,19 @@ GRID = [
     ("greedy_int8", 0, 8, [16, 32]),
     ("greedy_fp8", 0, "fp8", [16, 32]),
     ("greedy_int4", 0, 4, [16, 32, 48]),
+    # greedy decoder-scan unroll probe: at 32 layers the per-step floor is
+    # ~5.5 ms (weights 1.47 GB + int8 KV 2.0 GB + self cache ~1 GB) but
+    # auto(u4) measures ~20 ms/step — sequencing-bound, not bandwidth
+    ("greedy_int8_u1", (0, 1), 8, [16]),
+    ("greedy_int8_u8", (0, 8), 8, [16]),
+    ("greedy_int8_u16", (0, 16), 8, [16]),
+    # FULL unroll removes the stacked-layer dynamic slicing entirely:
+    # measured 249.2 audio-s/s at b16 vs auto-u4's 113.9 (round 5)
+    ("greedy_int8_u32", (0, 32), 8, [16]),
+    ("greedy_u32_scale", (0, 32), 8, [8, 32, 48]),
+    ("greedy_fp8_u32", (0, 32), "fp8", [16, 32]),
+    ("greedy_int4_u32", (0, 32), 4, [16, 32]),
+    ("beam5_int8_u32", (5, 32), 8, [8]),
     ("beam5_int8", 5, 8, [8, 16]),  # the shipping label_large_v2 config
     ("beam5_int4", 5, 4, [8, 16]),
     # remote-compile helper crashed on the auto-unroll(4) beam programs at

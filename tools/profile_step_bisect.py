@@ -27,11 +27,11 @@ from taiwan_whisper_tpu.models.params import init_params
 
 BATCH = int(os.environ.get("B", "96"))
 BUDGET = 192
-UNROLL = 6
+UNROLL = int(os.environ.get("UNROLL", "6"))
 # QUANT: "8" int8 (default), "4" int4, "fp8", "0" plain bf16 cross-KV
 QUANT = os.environ.get("QUANT", "8")
 
-config = get_config("base")
+config = get_config(os.environ.get("PRESET", "base"))
 policy = DtypePolicy.bf16()
 params = init_params(config, seed=0)
 p_len = 4
