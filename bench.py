@@ -98,6 +98,55 @@ def bench_label(jax, jnp):
     return batch * 30.0 / dt
 
 
+def bench_label_flagship(jax, jnp):
+    """FLAGSHIP-shape labelling: large-v2 greedy, fp8 cross-KV, batch 32,
+    full decoder-scan unroll — the shipping configs/label_large_v2.args
+    operating point (PERF.md round-5 grid: 267 audio-s/s; int8 288, int4
+    313 but accuracy-gated). vs_baseline: the same ~120 audio-s/s/GPU
+    reference rate, which is itself a large-model labelling number."""
+    from taiwan_whisper_tpu.decode.greedy import greedy_decode
+    from taiwan_whisper_tpu.decode.rules import DecodeRules
+    from taiwan_whisper_tpu.models import whisper as M
+    from taiwan_whisper_tpu.models.config import DtypePolicy, get_config
+    from taiwan_whisper_tpu.models.params import init_params
+    from taiwan_whisper_tpu.ops.mel_kernel import log_mel_pallas
+    from taiwan_whisper_tpu.audio.mel import N_SAMPLES
+    from taiwan_whisper_tpu.text.tokenizer import MULTILINGUAL, WhisperTokenizer
+
+    batch, decode_budget = 32, 192
+    config = get_config("large-v2")
+    policy = DtypePolicy.bf16()
+    params = init_params(config, seed=0)
+    tok = WhisperTokenizer(MULTILINGUAL)
+    rules = DecodeRules.from_special(MULTILINGUAL, timestamps=True)
+    prefix = jnp.asarray([tok.sot_sequence("zh", "transcribe")] * batch, jnp.int32)
+    max_len = prefix.shape[1] + decode_budget
+    on_tpu = jax.devices()[0].platform != "cpu"
+
+    @jax.jit
+    def label_chunks(params, audio, prefix):
+        if on_tpu:
+            mel = log_mel_pallas(audio)
+        else:
+            from taiwan_whisper_tpu.audio.mel import log_mel
+
+            mel = log_mel(audio)
+        enc = M.encode(params, mel, config, policy)
+        return greedy_decode(
+            params, enc, prefix, config, rules, policy, max_len=max_len,
+            quantize_cross_kv="fp8",
+        ).tokens
+
+    rng = np.random.RandomState(0)
+    pool = [
+        jnp.asarray(rng.randn(batch, N_SAMPLES).astype(np.float32) * 0.1)
+        for _ in range(2)
+    ]
+    dt = _median_time(label_chunks, params, pool[0], prefix, iters=3,
+                      arg_pool=pool)
+    return batch * 30.0 / dt
+
+
 def bench_label_driver(jax, jnp):
     """The SHIPPING `cli label` path (pooled device-resident scheduler) on
     a synthetic VAD-gated lecture corpus — wire, VAD, scheduling and CSV
@@ -242,6 +291,18 @@ def main() -> None:
 
     label = bench_label(jax, jnp)
     extra = []
+    try:
+        flagship = bench_label_flagship(jax, jnp)
+        extra.append({
+            "metric": "label_large_v2_audio_s_per_s_per_chip",
+            "value": round(flagship, 1),
+            "unit": "audio_seconds_per_second_per_chip",
+            # flagship teacher shapes vs the same ~120/GPU reference rate
+            "vs_baseline": round(flagship / 120.0, 3),
+        })
+    except Exception as e:
+        extra.append({"metric": "label_large_v2_audio_s_per_s_per_chip",
+                      "error": repr(e)})
     try:
         import sys as _sys
 
