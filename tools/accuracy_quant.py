@@ -109,6 +109,11 @@ def main() -> int:
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--budget", type=int, default=96)
     ap.add_argument("--markdown", action="store_true")
+    ap.add_argument("--spec", action="store_true",
+                    help="also measure speculative-vs-greedy token flips "
+                         "(extend vs decode_step are DIFFERENT XLA graphs; "
+                         "bf16 rounding can flip near-tied argmaxes on "
+                         "chip — VERDICT r4 weak #6)")
     args = ap.parse_args()
 
     if args.checkpoint:
@@ -166,6 +171,7 @@ def main() -> int:
     base_texts = [tokens_to_text(tok, r, eot, use_vocab) for r in base]
 
     rows = []
+    outs = {}
     for name, policy, quant, beams in variants:
         try:
             out = base if name == "fp32_greedy" else run(policy, quant, beams)
@@ -173,6 +179,7 @@ def main() -> int:
             rows.append({"variant": name, "error": repr(e)[:200]})
             print(json.dumps(rows[-1]), flush=True)
             continue
+        outs[name] = out
         agree, exact = agreement(base, out, eot)
         texts = [tokens_to_text(tok, r, eot, use_vocab) for r in out]
         delta = mer.compute(texts, base_texts, empty_error_rate=1.0)
@@ -181,6 +188,53 @@ def main() -> int:
             "token_agreement": round(agree, 4),
             "exact_match": round(exact, 4),
             "mer_vs_fp32": round(float(delta), 4),
+        })
+        print(json.dumps(rows[-1]), flush=True)
+
+    # int8's MARGINAL effect under beam: beam5+int8 vs beam5 directly
+    # (both diverge from greedy because the SEARCH differs; their mutual
+    # agreement isolates the quantization effect at trained margins)
+    if "bf16_beam5" in outs and "bf16_beam5_int8" in outs:
+        agree, exact = agreement(outs["bf16_beam5"],
+                                 outs["bf16_beam5_int8"], eot)
+        rows.append({
+            "variant": "beam5_int8_vs_beam5",
+            "token_agreement": round(agree, 4),
+            "exact_match": round(exact, 4),
+            "mer_vs_fp32": None,
+        })
+        print(json.dumps(rows[-1]), flush=True)
+
+    if args.spec:
+        from taiwan_whisper_tpu.decode.speculative import speculative_decode
+        from taiwan_whisper_tpu.models.params import (
+            init_student_from_teacher,
+        )
+
+        s_cfg = config.with_decoder_layers(2)
+        student = init_student_from_teacher(params, config, 2)
+        prefix1 = prefix[:1]
+
+        @jax.jit
+        def spec_one(params, student, mel1, prefix1):
+            t_enc = M.encode(params, mel1, config, bf16)
+            s_enc = M.encode(student, mel1, s_cfg, bf16)
+            return speculative_decode(
+                params, config, student, s_cfg, t_enc, s_enc, prefix1,
+                rules, bf16, num_draft_tokens=5, max_len=max_len,
+            ).tokens
+
+        spec_rows = []
+        for b in range(args.batch):
+            spec_rows.append(np.asarray(
+                spec_one(params, student, mel[b:b + 1], prefix1))[0, p:])
+        spec_out = np.stack(spec_rows)
+        agree, exact = agreement(outs["bf16_greedy"], spec_out, eot)
+        rows.append({
+            "variant": "spec_vs_greedy_bf16_onchip",
+            "token_agreement": round(agree, 4),
+            "exact_match": round(exact, 4),
+            "mer_vs_fp32": None,
         })
         print(json.dumps(rows[-1]), flush=True)
 
@@ -199,8 +253,10 @@ def main() -> int:
             if "error" in r:
                 print(f"| {r['variant']} | ERROR | | |")
                 continue
+            mv = ("" if r["mer_vs_fp32"] is None
+                  else f"{r['mer_vs_fp32']:.4f}")
             print(f"| {r['variant']} | {r['token_agreement']:.4f} | "
-                  f"{r['exact_match']:.4f} | {r['mer_vs_fp32']:.4f} |")
+                  f"{r['exact_match']:.4f} | {mv} |")
     print(json.dumps(result))
     return 0
 
