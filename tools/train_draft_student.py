@@ -76,7 +76,13 @@ def main():
 
     cfg = get_config(preset)
     policy = DtypePolicy.bf16()
-    teacher = init_params(cfg, seed=0)
+    # bf16 teacher from the start: holding an fp32 large-v2 teacher (6.2 GB)
+    # NEXT TO its bf16 training copy OOMs the 16 GB chip; the teacher is
+    # inference-only here (labelling + stop-gradient distillation target)
+    teacher = jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16)
+        if x.dtype == jnp.float32 else x,
+        init_params(cfg, seed=0))
     tok = WhisperTokenizer(MULTILINGUAL)
     rules = DecodeRules.from_special(MULTILINGUAL, timestamps=True)
     sot_seq = tok.sot_sequence("zh", "transcribe", timestamps=True)
@@ -111,11 +117,13 @@ def main():
     for i, ln in enumerate(lengths):  # mask past the eot
         labels[i, p_len + int(ln):] = LABEL_IGNORE
 
-    student = init_student_from_teacher(teacher, cfg, 2)
+    # student carries fp32 master weights for the optimizer
+    student = jax.tree.map(
+        lambda x: x.astype(jnp.float32)
+        if x.dtype == jnp.bfloat16 else x,
+        init_student_from_teacher(teacher, cfg, 2))
     s_cfg = cfg.with_decoder_layers(2)
-    teacher_bf16 = jax.tree.map(
-        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
-        teacher)
+    teacher_bf16 = teacher
     opt = make_optimizer(
         OptimConfig(learning_rate=3e-4, warmup_steps=20, total_steps=steps),
         mask=trainable_mask(student, freeze_encoder=True),
