@@ -71,6 +71,7 @@ def cmd_label(args):
             pooled=not args.no_pooled,
             wire_mode=args.wire_mode,
             pack_regions=args.pack_regions,
+            group_segs=args.group_segs,
             max_decode_tokens=args.max_decode_tokens,
             num_draft_tokens=args.num_draft_tokens,
         ),
@@ -394,6 +395,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="pooled transport: resident (one int16 upload per "
                         "file, VAD + chunk gathers on device — the fast "
                         "path), chunks (staged batches), auto")
+    p.add_argument("--group_segs", type=int, default=None,
+                   help="120 s segments per resident device group buffer "
+                        "(default 16 = 32 min); smaller groups pipeline "
+                        "ingest/VAD with decode on compute-bound shapes")
     p.add_argument("--pack_regions", action="store_true",
                    help="pack short VAD regions into shared decode windows "
                         "(resident transport; the reference packs "

@@ -116,6 +116,13 @@ class LabelConfig:
     # window, a (reference-sanctioned) label-semantics tradeoff.
     pack_regions: bool = False
     pack_separator_s: float = 0.2
+    # resident path only: 120 s segments per device group buffer (None =
+    # label_resident.CAP_SEGS, 32 min). Decode of a group's chunks can
+    # only start once the group seals, so SMALLER groups pipeline ingest/
+    # upload/VAD with decode — with one 32-min group a 40-file large-v2
+    # run serialized ~30 s of pre-work before the first decode batch
+    # (PERF.md round 5: group_segs=4 measured fastest there).
+    group_segs: Optional[int] = None
 
 
 def energy_vad_is_speech(audio: np.ndarray, threshold: float) -> bool:

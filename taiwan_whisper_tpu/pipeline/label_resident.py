@@ -178,6 +178,14 @@ def label_files_resident(
     stride_s = cfg.stride_s if cfg.stride_s is not None else chunk_s / 6.0
     chunk_len = int(chunk_s * SAMPLE_RATE)
     stride_len = int(stride_s * SAMPLE_RATE)
+    # group capacity: smaller groups seal (and upload, VAD-score, decode)
+    # earlier, pipelining ingest with decode — with one 32-min group a
+    # 40-file large-v2 run serialized ~30 s of upload+VAD before the first
+    # decode batch could launch (PERF.md round 5). Module globals remain
+    # the defaults so tests can shrink them.
+    cap_segs = cfg.group_segs or CAP_SEGS
+    l_stream = cap_segs * SEG
+    l_buf = l_stream + _WIN
     bs = cfg.batch_size
     max_len = (len(sot_seq) + cfg.max_decode_tokens
                if cfg.max_decode_tokens else None)
@@ -191,10 +199,10 @@ def label_files_resident(
                       and chunk_len == 480000)
 
     @jax.jit
-    def vad_group(buf):  # [L_BUF] i16 -> [CAP_SEGS, 3, nb]
+    def vad_group(buf):  # [l_buf] i16 -> [cap_segs, 3, nb]
         segs = jnp.stack([
             jax.lax.slice(buf, (s * SEG,), (s * SEG + SEG + _WIN,))
-            for s in range(CAP_SEGS)
+            for s in range(cap_segs)
         ])
         return seg_score(segs)
 
@@ -203,12 +211,12 @@ def label_files_resident(
         # virtual stream: group g then group g+1 (drop g's VAD overlap tail),
         # padded so every admissible row start has a full chunk_len window:
         # a rider task near the end of group g+1 (start+valid bounded by
-        # (g+2)*L_STREAM but valid < chunk_len-_WIN) would otherwise push
+        # (g+2)*l_stream but valid < chunk_len-_WIN) would otherwise push
         # dynamic_slice past the buffer and get its start CLAMPED — silently
         # shifting the gathered window up to ~30 s earlier (wrong audio
         # surviving the valid-mask).
         virt = jnp.concatenate([
-            buf_a[:L_STREAM], buf_b,
+            buf_a[:l_stream], buf_b,
             jnp.zeros(max(chunk_len - _WIN, 0), jnp.int16),
         ])
         # contiguous per-row extraction MUST be dynamic_slice, not take:
@@ -247,7 +255,7 @@ def label_files_resident(
         fs.segments.sort(key=lambda s: s.start)
         write_label_csv(fs.out_csv, LongformResult(fs.segments), tok)
         files.pop(fs.idx)
-        for g in fs.touched_groups(L_STREAM):
+        for g in fs.touched_groups(l_stream):
             group_open_files[g] -= 1
         free_groups()
         stats["files"] += 1
@@ -261,7 +269,7 @@ def label_files_resident(
     group_no = 0
     dev_groups: Dict[int, object] = {}  # group -> device buffer
     group_pending_chunks: Dict[int, int] = {}  # refcount for freeing
-    zeros_buf = None  # lazy [L_BUF] device zeros for the last-pair call
+    zeros_buf = None  # lazy [l_buf] device zeros for the last-pair call
 
     # two workers = two concurrent wire streams: the tunnel's aggregate
     # bandwidth measured ~2x with two parallel device_puts (PERF.md r4)
@@ -279,13 +287,13 @@ def label_files_resident(
         nonlocal group_parts, group_fill, group_no
         if group_fill == 0:
             return
-        buf = np.zeros(L_BUF, np.int16)
+        buf = np.zeros(l_buf, np.int16)
         pos = 0
         for part in group_parts:
             buf[pos: pos + len(part)] = part
             pos += len(part)
-        if next_head is not None and pos >= L_STREAM:
-            buf[L_STREAM: L_STREAM + len(next_head)] = next_head[:_WIN]
+        if next_head is not None and pos >= l_stream:
+            buf[l_stream: l_stream + len(next_head)] = next_head[:_WIN]
         g = group_no
         upload_futs.append((g, upload_pool.submit(_put, buf)))
         group_parts, group_fill = [], 0
@@ -301,15 +309,15 @@ def label_files_resident(
         """Append int16 samples at the current stream position, splitting
         across group boundaries; returns absolute stream start."""
         nonlocal group_fill
-        start_abs = group_no * L_STREAM + group_fill
+        start_abs = group_no * l_stream + group_fill
         off = 0
         while off < len(arr):
-            room = L_STREAM - group_fill
+            room = l_stream - group_fill
             take = min(room, len(arr) - off)
             group_parts.append(arr[off: off + take])
             group_fill += take
             off += take
-            if group_fill == L_STREAM:
+            if group_fill == l_stream:
                 seal_group(next_head=arr[off: off + _WIN]
                            if off < len(arr) else None)
         return start_abs
@@ -361,8 +369,8 @@ def label_files_resident(
             # which of this file's segments live in group g?
             for s in range(fs.n_seg):
                 seg_abs = fs.stream_base + s * SEG
-                if seg_abs // L_STREAM == g and fs.seg_scores[s] is None:
-                    fs.seg_scores[s] = scores[(seg_abs % L_STREAM) // SEG]
+                if seg_abs // l_stream == g and fs.seg_scores[s] is None:
+                    fs.seg_scores[s] = scores[(seg_abs % l_stream) // SEG]
             if all(x is not None for x in fs.seg_scores):
                 done.append(fs)
         for fs in done:
@@ -399,7 +407,7 @@ def label_files_resident(
                 abs_start = base + i * chunk_len
                 tasks.append(_ResidentTask(
                     file_idx=fidx,
-                    group=abs_start // L_STREAM,
+                    group=abs_start // l_stream,
                     start=abs_start,
                     valid=valid,
                     region_start=0.0,
@@ -446,7 +454,7 @@ def label_files_resident(
                 abs_start = fs.stream_base + span_start + start
                 tasks.append(_ResidentTask(
                     file_idx=fs.idx,
-                    group=abs_start // L_STREAM,
+                    group=abs_start // l_stream,
                     start=abs_start,
                     valid=valid,
                     region_start=a,
@@ -490,19 +498,19 @@ def label_files_resident(
         # the neighbour buffer is needed only when a row's REAL samples
         # reach into group g+1 (padded tails are zero-masked by `valid`)
         needs_b = any(
-            t.group == g + 1 or t.start + t.valid > (g + 1) * L_STREAM
+            t.group == g + 1 or t.start + t.valid > (g + 1) * l_stream
             for t in batch
         )
         if needs_b:
             buf_b = ensure_group(g + 1)
         else:
             if zeros_buf is None:
-                zeros_buf = jax.device_put(np.zeros(L_BUF, np.int16))
+                zeros_buf = jax.device_put(np.zeros(l_buf, np.int16))
             buf_b = zeros_buf
         starts = np.full(bs, 0, np.int32)
         valid = np.zeros(bs, np.int32)
         for j, t in enumerate(batch):
-            starts[j] = t.start - g * L_STREAM
+            starts[j] = t.start - g * l_stream
             valid[j] = t.valid
         # ASYNC dispatch: batch N+1 launches before batch N's results are
         # pulled, hiding result-transfer/host-scatter under device compute
@@ -573,12 +581,12 @@ def label_files_resident(
                 # only decode chunks whose REAL samples are fully inside
                 # sealed (uploaded or upload-queued) groups — with VAD off,
                 # tasks can be created while their group still accumulates
-                sealed = group_no * L_STREAM
+                sealed = group_no * l_stream
                 if task_q[0].start + task_q[0].valid > sealed:
                     break
                 batch = [task_q.popleft()]
                 g = batch[0].group
-                limit = (g + 2) * L_STREAM
+                limit = (g + 2) * l_stream
                 while (task_q and len(batch) < bs
                        and task_q[0].group <= g + 1
                        and task_q[0].start + task_q[0].valid
@@ -655,11 +663,11 @@ def label_files_resident(
                 )
                 fs.stream_base = stream_write(padded)
                 files[idx] = fs
-                for g in fs.touched_groups(L_STREAM):
+                for g in fs.touched_groups(l_stream):
                     group_open_files[g] = group_open_files.get(g, 0) + 1
                 if vad_enabled:
                     vad_waiting.append(fs)
-                    vad_score_groups.update(fs.touched_groups(L_STREAM))
+                    vad_score_groups.update(fs.touched_groups(l_stream))
                 else:
                     file_regions_to_tasks(
                         fs, regions=[(0.0, fs.n_samples / SAMPLE_RATE)])

@@ -328,3 +328,21 @@ def test_resident_group_boundary_rider_window(tmp_path):
     finally:
         mel_mod.log_mel = orig_log_mel
         LR.CAP_SEGS, LR.L_STREAM, LR.L_BUF = old
+
+
+def test_resident_group_segs_config(tmp_path, model, speech_corpus):
+    """cfg.group_segs shrinks the device group buffer (pipelines ingest
+    with decode); output must equal the default-capacity path."""
+    params, cfg = model
+    tok = WhisperTokenizer(MULTILINGUAL)
+    base = dict(vad_mode="spectral-device", batch_size=4,
+                max_decode_tokens=16, wire_mode="resident")
+    small_dir, dflt_dir = str(tmp_path / "small"), str(tmp_path / "dflt")
+    stats = label_files(params, cfg, tok, speech_corpus, small_dir,
+                        LabelConfig(group_segs=1, **base), log_every=0)
+    label_files(params, cfg, tok, speech_corpus, dflt_dir,
+                LabelConfig(**base), log_every=0)
+    # 20+35+15 s corpus -> one 120 s segment per file -> 3 groups at
+    # group_segs=1 (vs 1 group at the 32-min default)
+    assert stats["groups"] == 3
+    assert _read_csvs(small_dir) == _read_csvs(dflt_dir)

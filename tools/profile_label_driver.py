@@ -167,11 +167,16 @@ def main():
         variants.append(("staged_driver", True, "chunks", False))
     if with_per_file:
         variants.append(("per_file_driver", False, "chunks", False))
+    group_segs = None
+    for a in sys.argv:
+        if a.startswith("--group-segs="):
+            group_segs = int(a.split("=")[1])
     for name, pooled, wire_mode, pack in variants:
         cfg = LabelConfig(batch_size=BATCH, quantize_kv=8,
                           max_decode_tokens=BUDGET, pooled=pooled,
                           vad_mode="spectral", io_threads=2,
-                          wire_mode=wire_mode, pack_regions=pack)
+                          wire_mode=wire_mode, pack_regions=pack,
+                          group_segs=group_segs)
         if pooled:
             # steady-state: one warmup pass over 4 files compiles the decode
             # + VAD programs (a production run pays this once per process)
