@@ -146,6 +146,72 @@ class _FileState:
         return range(first, last + 1)
 
 
+
+# The jitted decode program is cached ACROSS label_files calls: each call
+# previously built a fresh @jax.jit closure, so every invocation re-paid
+# Python tracing + MLIR lowering — measured 18.4 s at large-v2 full-unroll
+# shapes (timeline: VAD scores ready at 7.5 s, first decode dispatch at
+# 25.9 s) even though the XLA compile itself was cache-hit. All key parts
+# are frozen dataclasses, so (config, policy, rules, geometry) is a
+# complete static signature; batch size specializes via jit as usual.
+_decode_fn_cache: Dict[tuple, object] = {}
+
+
+def _get_decode_fn(config, policy, rules, chunk_len, l_stream,
+                   num_beams, quantize_kv, max_len, use_pallas_mel):
+    key = (config, policy, rules, chunk_len, l_stream,
+           num_beams, quantize_kv, max_len, use_pallas_mel)
+    cached = _decode_fn_cache.get(key)
+    if cached is not None:
+        return cached
+    import jax
+    import jax.numpy as jnp
+
+    from ..audio.mel import log_mel
+    from ..decode.beam import beam_decode
+    from ..decode.greedy import greedy_decode
+    from ..models import whisper as M
+
+    @jax.jit
+    def _decode_from_bufs(params, buf_a, buf_b, starts, valid, prefix):
+        # virtual stream: group g then group g+1 (drop g's VAD overlap tail),
+        # padded so every admissible row start has a full chunk_len window:
+        # a rider task near the end of group g+1 (start+valid bounded by
+        # (g+2)*l_stream but valid < chunk_len-_WIN) would otherwise push
+        # dynamic_slice past the buffer and get its start CLAMPED — silently
+        # shifting the gathered window up to ~30 s earlier (wrong audio
+        # surviving the valid-mask).
+        virt = jnp.concatenate([
+            buf_a[:l_stream], buf_b,
+            jnp.zeros(max(chunk_len - _WIN, 0), jnp.int16),
+        ])
+        # contiguous per-row extraction MUST be dynamic_slice, not take:
+        # a [bs, chunk_len] index-matrix gather measured 16x slower on chip
+        rows = jax.vmap(
+            lambda s: jax.lax.dynamic_slice(virt, (s,), (chunk_len,))
+        )(starts)  # [bs, chunk_len] i16
+        audio = jnp.where(
+            jnp.arange(chunk_len)[None, :] < valid[:, None], rows, 0
+        ).astype(jnp.float32) / 32768.0
+        if use_pallas_mel:
+            from ..ops.mel_kernel import log_mel_pallas
+
+            mel = log_mel_pallas(audio, config.num_mel_bins)
+        else:
+            mel = log_mel(audio, config.num_mel_bins)
+        enc = M.encode(params, mel, config, policy)
+        if num_beams > 1:
+            return beam_decode(params, enc, prefix, config, rules, policy,
+                               num_beams=num_beams, max_len=max_len,
+                               quantize_cross_kv=quantize_kv)
+        return greedy_decode(params, enc, prefix, config, rules, policy,
+                             max_len=max_len,
+                             quantize_cross_kv=quantize_kv)
+
+    _decode_fn_cache[key] = _decode_from_bufs
+    return _decode_from_bufs
+
+
 def label_files_resident(
     params,
     config: WhisperConfig,
@@ -206,47 +272,23 @@ def label_files_resident(
         ])
         return seg_score(segs)
 
-    @jax.jit
-    def decode_from_bufs(params, buf_a, buf_b, starts, valid, prefix):
-        # virtual stream: group g then group g+1 (drop g's VAD overlap tail),
-        # padded so every admissible row start has a full chunk_len window:
-        # a rider task near the end of group g+1 (start+valid bounded by
-        # (g+2)*l_stream but valid < chunk_len-_WIN) would otherwise push
-        # dynamic_slice past the buffer and get its start CLAMPED — silently
-        # shifting the gathered window up to ~30 s earlier (wrong audio
-        # surviving the valid-mask).
-        virt = jnp.concatenate([
-            buf_a[:l_stream], buf_b,
-            jnp.zeros(max(chunk_len - _WIN, 0), jnp.int16),
-        ])
-        # contiguous per-row extraction MUST be dynamic_slice, not take:
-        # a [bs, chunk_len] index-matrix gather measured 16x slower on chip
-        rows = jax.vmap(
-            lambda s: jax.lax.dynamic_slice(virt, (s,), (chunk_len,))
-        )(starts)  # [bs, chunk_len] i16
-        audio = jnp.where(
-            jnp.arange(chunk_len)[None, :] < valid[:, None], rows, 0
-        ).astype(jnp.float32) / 32768.0
-        if use_pallas_mel:
-            from ..ops.mel_kernel import log_mel_pallas
-
-            mel = log_mel_pallas(audio, config.num_mel_bins)
-        else:
-            mel = log_mel(audio, config.num_mel_bins)
-        enc = M.encode(params, mel, config, policy)
-        if cfg.num_beams > 1:
-            return beam_decode(params, enc, prefix, config, rules, policy,
-                               num_beams=cfg.num_beams, max_len=max_len,
-                               quantize_cross_kv=cfg.quantize_kv)
-        return greedy_decode(params, enc, prefix, config, rules, policy,
-                             max_len=max_len,
-                             quantize_cross_kv=cfg.quantize_kv)
+    decode_from_bufs = _get_decode_fn(
+        config, policy, rules, chunk_len, l_stream,
+        cfg.num_beams, cfg.quantize_kv, max_len, use_pallas_mel)
 
     os.makedirs(output_dir, exist_ok=True)
     stats = dict(files=0, skipped=0, failed=0, audio_seconds=0.0,
                  chunks=0, batches=0, pad_slots=0, groups=0,
                  vad_s=0.0, decode_s=0.0, upload_wait_s=0.0, load_wait_s=0.0)
     t0 = time.time()
+    # TWT_LABEL_TIMELINE=1: emit wall-clock event markers so driver walls
+    # can be attributed (this is how the 18.4 s per-call trace cost and
+    # the wire/decode overlap were diagnosed) — not a hot-path cost
+    timeline = ([] if os.environ.get("TWT_LABEL_TIMELINE") else None)
+
+    def mark(event):
+        if timeline is not None:
+            timeline.append((round(time.time() - t0, 3), event))
 
     files: Dict[int, _FileState] = {}
     group_open_files: Dict[int, int] = {}  # unfinished files touching group
@@ -295,6 +337,7 @@ def label_files_resident(
         if next_head is not None and pos >= l_stream:
             buf[l_stream: l_stream + len(next_head)] = next_head[:_WIN]
         g = group_no
+        mark(f"seal_group {g}")
         upload_futs.append((g, upload_pool.submit(_put, buf)))
         group_parts, group_fill = [], 0
         group_no += 1
@@ -341,6 +384,7 @@ def label_files_resident(
         tw = time.perf_counter()
         dev_groups[tg] = fut.result()
         stats["upload_wait_s"] += time.perf_counter() - tw
+        mark(f"group_uploaded {tg}")
         if vad_enabled and tg in vad_score_groups:
             res = vad_group(dev_groups[tg])  # async dispatch
             score_futs.append((tg, pull_pool.submit(np.asarray, res)))
@@ -353,6 +397,7 @@ def label_files_resident(
             tv = time.perf_counter()
             scores = fut.result()
             stats["vad_s"] += time.perf_counter() - tv
+            mark(f"scores {tg}")
             deliver_scores(tg, scores)
 
     def ensure_group(g) -> object:
@@ -517,6 +562,7 @@ def label_files_resident(
         res = decode_from_bufs(params, buf_a, buf_b,
                                jnp.asarray(starts), jnp.asarray(valid),
                                prefix)
+        mark(f"dispatch {stats['batches'] + len(decode_inflight)}")
         decode_inflight.append((batch, res))
         while len(decode_inflight) > 1:
             scatter_oldest()
@@ -527,6 +573,7 @@ def label_files_resident(
         tokens = np.asarray(res.tokens)
         lengths = np.asarray(res.lengths)
         stats["decode_s"] += time.perf_counter() - td
+        mark(f"pulled {stats['batches']}")
         stats["batches"] += 1
         stats["pad_slots"] += bs - len(batch)
         for j, t in enumerate(batch):
@@ -676,6 +723,7 @@ def label_files_resident(
                     pump_uploads()
                 pump_scores()
                 drain()
+            mark("ingest_loop_done")
             # fixpoint: sealing the tail group delivers the last files'
             # scores, whose regions may append packed windows, whose flush
             # writes new stream data that needs sealing again. The break
@@ -700,4 +748,6 @@ def label_files_resident(
     assert not files, f"unfinished files: {sorted(files)}"
     assert not vad_waiting
     stats["wall_seconds"] = time.time() - t0
+    if timeline is not None:
+        print("[timeline]", timeline)
     return stats
