@@ -119,9 +119,9 @@ class LabelConfig:
     # resident path only: 120 s segments per device group buffer (None =
     # label_resident.CAP_SEGS, 32 min). Decode of a group's chunks can
     # only start once the group seals, so SMALLER groups pipeline ingest/
-    # upload/VAD with decode — with one 32-min group a 40-file large-v2
-    # run serialized ~30 s of pre-work before the first decode batch
-    # (PERF.md round 5: group_segs=4 measured fastest there).
+    # upload/VAD with decode. On the RTT-heavy dev tunnel this measured a
+    # NON-lever (extra per-group round trips beat the overlap win,
+    # PERF.md round 5); kept as a tuning knob for PCIe hosts.
     group_segs: Optional[int] = None
 
 
@@ -194,6 +194,61 @@ def _file_to_tasks(
     return tasks
 
 
+
+# Jitted staged-path decode programs cached across label_files calls —
+# rebuilding the @jax.jit closure per call re-pays Python tracing + MLIR
+# lowering (~18 s at large-v2 full-unroll; measured on the resident path,
+# same mechanism here). Key is the frozen static signature; ``use_pallas``
+# stands in for the mel_fn choice (custom mel_fn callers bypass the cache).
+_decode_batch_cache: dict = {}
+
+
+def _get_decode_batch(config, policy, rules, num_beams, quantize_kv,
+                      max_len, use_pallas):
+    key = (config, policy, rules, num_beams, quantize_kv, max_len,
+           use_pallas)
+    cached = _decode_batch_cache.get(key)
+    if cached is not None:
+        return cached
+    import jax
+    import jax.numpy as jnp
+
+    from ..audio.mel import log_mel
+    from ..decode.beam import beam_decode
+    from ..decode.greedy import greedy_decode
+    from ..models import whisper as M
+
+    # params is an explicit argument (NOT a closure): closed-over arrays
+    # are baked into the lowered program as constants, which bloats the
+    # compile payload past the remote-compile tunnel's request limit at
+    # real model sizes (observed as HTTP 413 at whisper-base) and
+    # forfeits donation
+    @jax.jit
+    def decode_batch(params, audio_batch, prefix):
+        if audio_batch.dtype == jnp.int16:  # int16 wire -> f32 on device
+            audio_batch = audio_batch.astype(jnp.float32) / 32768.0
+        if use_pallas:
+            from ..ops.mel_kernel import log_mel_pallas
+
+            mel = log_mel_pallas(audio_batch, config.num_mel_bins)
+        else:
+            mel = log_mel(audio_batch, config.num_mel_bins)
+        enc = M.encode(params, mel, config, policy)
+        if num_beams > 1:
+            return beam_decode(
+                params, enc, prefix, config, rules, policy,
+                num_beams=num_beams, max_len=max_len,
+                quantize_cross_kv=quantize_kv,
+            )
+        return greedy_decode(
+            params, enc, prefix, config, rules, policy, max_len=max_len,
+            quantize_cross_kv=quantize_kv,
+        )
+
+    _decode_batch_cache[key] = decode_batch
+    return decode_batch
+
+
 def _label_files_pooled(
     params,
     config: WhisperConfig,
@@ -229,36 +284,32 @@ def _label_files_pooled(
     max_len = (len(sot_seq) + cfg.max_decode_tokens
                if cfg.max_decode_tokens else None)
 
-    if mel_fn is None:
-        if jax.default_backend() == "tpu" and chunk_len == N_SAMPLES:
-            from ..ops.mel_kernel import log_mel_pallas
-
-            mel_fn = lambda a: log_mel_pallas(a, config.num_mel_bins)  # noqa: E731
-        else:
-            mel_fn = lambda a: log_mel(a, config.num_mel_bins)  # noqa: E731
-
     prefix = jnp.asarray([sot_seq] * bs, jnp.int32)
 
-    # params is an explicit argument (NOT a closure): closed-over arrays are
-    # baked into the lowered program as constants, which bloats the compile
-    # payload past the remote-compile tunnel's request limit at real model
-    # sizes (observed as HTTP 413 at whisper-base) and forfeits donation
-    @jax.jit
-    def decode_batch(params, audio_batch, prefix):
-        if audio_batch.dtype == jnp.int16:  # int16 wire -> f32 on device
-            audio_batch = audio_batch.astype(jnp.float32) / 32768.0
-        mel = mel_fn(audio_batch)
-        enc = M.encode(params, mel, config, policy)
-        if cfg.num_beams > 1:
-            return beam_decode(
+    if mel_fn is None:
+        use_pallas = (jax.default_backend() == "tpu"
+                      and chunk_len == N_SAMPLES)
+        decode_batch = _get_decode_batch(
+            config, policy, rules, cfg.num_beams, cfg.quantize_kv,
+            max_len, use_pallas)
+    else:
+        # custom mel frontend: uncacheable closure, built per call
+        @jax.jit
+        def decode_batch(params, audio_batch, prefix):
+            if audio_batch.dtype == jnp.int16:
+                audio_batch = audio_batch.astype(jnp.float32) / 32768.0
+            mel = mel_fn(audio_batch)
+            enc = M.encode(params, mel, config, policy)
+            if cfg.num_beams > 1:
+                return beam_decode(
+                    params, enc, prefix, config, rules, policy,
+                    num_beams=cfg.num_beams, max_len=max_len,
+                    quantize_cross_kv=cfg.quantize_kv,
+                )
+            return greedy_decode(
                 params, enc, prefix, config, rules, policy,
-                num_beams=cfg.num_beams, max_len=max_len,
-                quantize_cross_kv=cfg.quantize_kv,
+                max_len=max_len, quantize_cross_kv=cfg.quantize_kv,
             )
-        return greedy_decode(
-            params, enc, prefix, config, rules, policy, max_len=max_len,
-            quantize_cross_kv=cfg.quantize_kv,
-        )
 
     # per-file bookkeeping: segments land here as their batches complete
     states: dict = {}  # file_idx -> {segments, remaining, produced, out_csv}
