@@ -230,11 +230,7 @@ def label_files_resident(
     import jax.numpy as jnp
 
     from ..audio.io import load_audio_16k
-    from ..audio.mel import log_mel
-    from ..decode.beam import beam_decode
-    from ..decode.greedy import greedy_decode
     from ..decode.rules import DecodeRules
-    from ..models import whisper as M
     from .label import LongformResult, energy_vad_is_speech, write_label_csv
 
     special = tok.special
