@@ -346,3 +346,31 @@ def test_resident_group_segs_config(tmp_path, model, speech_corpus):
     # group_segs=1 (vs 1 group at the 32-min default)
     assert stats["groups"] == 3
     assert _read_csvs(small_dir) == _read_csvs(dflt_dir)
+
+
+def test_decode_program_cached_across_calls(tmp_path, model, speech_corpus):
+    """label_files invocations with the same static signature reuse ONE
+    jitted decode program (tracing+lowering measured 18.4 s per call at
+    large-v2 full-unroll shapes — PERF.md round 5)."""
+    from taiwan_whisper_tpu.pipeline import label_resident as LR
+
+    params, cfg = model
+    tok = WhisperTokenizer(MULTILINGUAL)
+    LR._decode_fn_cache.clear()
+    lc = LabelConfig(wire_mode="resident", vad_mode="spectral-device",
+                     batch_size=4, max_decode_tokens=16)
+    label_files(params, cfg, tok, speech_corpus[:1], str(tmp_path / "a"),
+                lc, log_every=0)
+    assert len(LR._decode_fn_cache) == 1
+    fn = next(iter(LR._decode_fn_cache.values()))
+    label_files(params, cfg, tok, speech_corpus[1:], str(tmp_path / "b"),
+                lc, log_every=0)
+    assert len(LR._decode_fn_cache) == 1
+    assert next(iter(LR._decode_fn_cache.values())) is fn
+    # a different static signature gets its own program
+    label_files(params, cfg, tok, speech_corpus[:1], str(tmp_path / "c"),
+                LabelConfig(wire_mode="resident", vad_mode="spectral-device",
+                            batch_size=4, max_decode_tokens=16,
+                            quantize_kv=8),
+                log_every=0)
+    assert len(LR._decode_fn_cache) == 2
