@@ -91,7 +91,8 @@ def beam_decode(
     max_len: Optional[int] = None,
     length_penalty: float = 1.0,
     sot_index: int = 0,
-    quantize_cross_kv=0,  # 0/False off; True/8 int8; 4 int4; "fp8" e4m3
+    quantize_cross_kv=0,  # 0/False off; True/8 int8; 4 int4; "fp8" e4m3;
+    # "8x8" int8 storage + int8 x int8 MXU dots (accuracy-gated opt-in)
     scan_unroll: int = 0,  # decoder layer-scan unroll; 0 = auto
 ) -> BeamResult:
     b, p_len = prefix.shape
@@ -126,9 +127,10 @@ def beam_decode(
     )
     cache = M.init_cache(config, b * k, max_len, dtype=policy.compute_dtype)
     prefix_rep = jnp.repeat(prefix, k, axis=0)
+    int8_dots = quantize_cross_kv == "8x8"
     logits0, cache, sot_logits = M.prefill(
         params, cross_kv, cache, prefix_rep, config, policy,
-        aux_index=sot_index, beams=k,
+        aux_index=sot_index, beams=k, int8_dots=int8_dots,
     )
     # beams are identical at prefill, so the no-speech probe (Whisper paper
     # §4.5: P(<|nospeech|>) at the sot position) reads one row per batch item
@@ -247,7 +249,7 @@ def beam_decode(
         )
         logits, cache = M.decode_step(
             params, cross_kv, cache, _flat(new_tok), i, config, policy,
-            unroll=scan_unroll, beams=k,
+            unroll=scan_unroll, beams=k, int8_dots=int8_dots,
         )
         return dict(
             cache=cache,

@@ -55,7 +55,8 @@ def greedy_decode(
     rng: Optional[jax.Array] = None,
     sot_index: int = 0,  # position of <|startoftranscript|> in prefix
     valid_from: Optional[jnp.ndarray] = None,  # [B] for left-padded prompts
-    quantize_cross_kv=0,  # 0/False off; True/8 int8; 4 int4; "fp8" e4m3
+    quantize_cross_kv=0,  # 0/False off; True/8 int8; 4 int4; "fp8" e4m3;
+    # "8x8" int8 storage + int8 x int8 MXU dots (accuracy-gated opt-in)
     scan_unroll: int = 0,  # decoder layer-scan unroll; 0 = auto (PERF.md:
     # full unroll for shallow decoders measured -28% step time on chip)
 ) -> DecodeResult:
@@ -81,6 +82,7 @@ def greedy_decode(
 
     # quantization fused into the per-layer precompute scan: avoids an
     # O(full-KV) fp32 temp that OOMs v5e at large-v2 shapes (PERF.md r3)
+    int8_dots = quantize_cross_kv == "8x8"
     cross_kv = M.precompute_cross_kv(
         params, enc_out, config, policy,
         quantize=(quantize_cross_kv
@@ -90,7 +92,7 @@ def greedy_decode(
     cache = M.init_cache(config, b, max_len, dtype=policy.compute_dtype)
     logits0, cache, sot_logits = M.prefill(
         params, cross_kv, cache, prefix, config, policy,
-        valid_from=valid_from, aux_index=sot_index,
+        valid_from=valid_from, aux_index=sot_index, int8_dots=int8_dots,
     )
     # P(<|nospeech|>) read at the <|startoftranscript|> position, the
     # no-speech detection signal of long-form decoding (Whisper paper §4.5).
@@ -169,7 +171,7 @@ def greedy_decode(
         finished = jnp.logical_or(s["finished"], nxt == eot)
         logits, cache = M.decode_step(
             params, cross_kv, s["cache"], nxt, i, config, policy,
-            valid_from=valid_from, unroll=scan_unroll,
+            valid_from=valid_from, unroll=scan_unroll, int8_dots=int8_dots,
         )
         return dict(
             cache=cache,

@@ -474,7 +474,7 @@ def _use_pallas_decode(dh: int, opt_in: bool) -> bool:
 
 
 def _cross_attention(q, cross_slice, dtype, use_pallas: bool = False,
-                     beams: int = 1):
+                     beams: int = 1, int8_dots: bool = False):
     """q [B, Sq, H, Dh] against one layer's cross K/V [B, H, Dh, T]
     (time-minor; plain bf16 or quantized QuantCrossKV slices).
 
@@ -495,6 +495,35 @@ def _cross_attention(q, cross_slice, dtype, use_pallas: bool = False,
         # (fp32, one cast); the quantized K/V cast to compute dtype inside
         # the dots
         ks_q = jnp.transpose(ks, (0, 3, 1, 2))
+        if int8_dots and kq.dtype == jnp.int8:
+            # int8 x int8 MXU dots ("8x8" mode): the int8->bf16 dequant of
+            # the streamed K/V is VPU-bound (~1 ms/step of the 7.5 ms
+            # large-v2 step, PERF.md round 5); quantizing q per (b,row,h)
+            # after the k-scale fold and the softmax probs per row keeps
+            # the dots entirely on the int8 MXU path. Extra rounding:
+            # q at 8 bits (comparable to its bf16 mantissa) and probs at
+            # 1/127 absolute — accuracy-gated (tools/accuracy_quant.py).
+            qf = q.astype(jnp.float32) * scale * ks_q  # [B,Sq,H,Dh]
+            qmax = jnp.max(jnp.abs(qf), axis=-1, keepdims=True) + 1e-12
+            q8 = jnp.clip(jnp.round(qf / qmax * 127.0),
+                          -127, 127).astype(jnp.int8)
+            logits = jnp.einsum(
+                "bqhd,bhdt->bhqt", q8, kq,
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32) * jnp.transpose(
+                qmax / 127.0, (0, 2, 1, 3))
+            probs = jax.nn.softmax(logits, axis=-1)  # [B,H,Sq,T] f32
+            pmax = jnp.max(probs, axis=-1, keepdims=True) + 1e-12
+            p8 = jnp.round(probs / pmax * 127.0).astype(jnp.int8)
+            att = jnp.einsum(
+                "bhqt,bhdt->bqhd", p8, vq,
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32) * jnp.transpose(
+                pmax / 127.0, (0, 2, 1, 3))
+            att = att * jnp.transpose(vs, (0, 3, 1, 2))
+            if beams > 1:
+                att = att.reshape(bk, sq, nh, dhq)
+            return att.astype(dtype)
         qs = (q.astype(jnp.float32) * scale * ks_q).astype(dtype)
     else:
         kq, vq = cross_slice
@@ -611,6 +640,7 @@ def decode_step(
     # (measured slower than the XLA path at whisper shapes; see PERF.md)
     beams: int = 1,  # rows per cross-KV batch item (beam search shares
     # the beam-invariant cross K/V; see _cross_attention)
+    int8_dots: bool = False,  # int8 x int8 MXU cross-attention dots
 ) -> Tuple[jnp.ndarray, KVCache]:
     """One decoder step. Returns (fp32 logits [B, vocab], updated cache)."""
     p = params["decoder"]
@@ -636,7 +666,7 @@ def decode_step(
         h = _layer_norm(lp["cross_attn_ln"], x)
         q = _split_heads(_dense(lp["cross_attn"]["q"], h, dtype), n_heads)
         att = _cross_attention(q, cross_slice, dtype, use_pallas=use_pallas,
-                               beams=beams)
+                               beams=beams, int8_dots=int8_dots)
         x = x + _dense(lp["cross_attn"]["out"], _merge_heads(att), dtype)
         h = _layer_norm(lp["final_ln"], x)
         x = x + _mlp_block(lp["fc1"], lp["fc2"], h, dtype)
@@ -664,6 +694,7 @@ def extend(
     policy: DtypePolicy = DtypePolicy(),
     *,
     beams: int = 1,  # rows per cross-KV batch item (see _cross_attention)
+    int8_dots: bool = False,
 ) -> Tuple[jnp.ndarray, KVCache]:
     """Multi-token decode: process P tokens in one pass against an existing
     cache (valid below ``offset``), returning fp32 logits for ALL P positions
@@ -714,7 +745,8 @@ def extend(
         x = x + _dense(lp["self_attn"]["out"], _merge_heads(att), dtype)
         h = _layer_norm(lp["cross_attn_ln"], x)
         q = _split_heads(_dense(lp["cross_attn"]["q"], h, dtype), n_heads)
-        att = _cross_attention(q, cross_slice, dtype, beams=beams)
+        att = _cross_attention(q, cross_slice, dtype, beams=beams,
+                               int8_dots=int8_dots)
         x = x + _dense(lp["cross_attn"]["out"], _merge_heads(att), dtype)
         h = _layer_norm(lp["final_ln"], x)
         x = x + _mlp_block(lp["fc1"], lp["fc2"], h, dtype)
@@ -739,6 +771,7 @@ def prefill(
     valid_from: Optional[jnp.ndarray] = None,  # [B] first non-pad position
     aux_index: int = 0,  # extra position whose logits are also returned
     beams: int = 1,  # rows per cross-KV batch item (see _cross_attention)
+    int8_dots: bool = False,
 ) -> Tuple[jnp.ndarray, KVCache, jnp.ndarray]:
     """Run the prompt through the decoder in one pass, filling cache[0:P].
 
@@ -782,7 +815,8 @@ def prefill(
         cv = jax.lax.dynamic_update_slice(cv, v_t.astype(cv.dtype), (0, 0, 0, 0))
         h = _layer_norm(lp["cross_attn_ln"], x)
         q = _split_heads(_dense(lp["cross_attn"]["q"], h, dtype), n_heads)
-        att = _cross_attention(q, cross_slice, dtype, beams=beams)
+        att = _cross_attention(q, cross_slice, dtype, beams=beams,
+                               int8_dots=int8_dots)
         x = x + _dense(lp["cross_attn"]["out"], _merge_heads(att), dtype)
         h = _layer_norm(lp["final_ln"], x)
         x = x + _mlp_block(lp["fc1"], lp["fc2"], h, dtype)

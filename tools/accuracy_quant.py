@@ -162,6 +162,7 @@ def main() -> int:
         ("bf16_int8", bf16, 8, 0),
         ("bf16_fp8", bf16, "fp8", 0),
         ("bf16_int4", bf16, 4, 0),
+        ("bf16_8x8", bf16, "8x8", 0),
         ("bf16_beam5", bf16, 0, 5),
         ("bf16_beam5_int8", bf16, 8, 5),
     ]

@@ -94,6 +94,9 @@ GRID = [
     ("greedy_u32_scale", (0, 32), 8, [8, 32, 48]),
     ("greedy_fp8_u32", (0, 32), "fp8", [16, 32]),
     ("greedy_int4_u32", (0, 32), 4, [16, 32]),
+    # int8 x int8 MXU attention dots (kills the dequant VPU cost; PERF.md
+    # round-5 step decomposition put it at ~+15%)
+    ("greedy_8x8_u32", (0, 32), "8x8", [16, 32]),
     ("beam5_int8_u32", (5, 32), 8, [8]),
     ("beam5_int8", 5, 8, [8, 16]),  # the shipping label_large_v2 config
     ("beam5_int4", 5, 4, [8, 16]),
